@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the sandbox (single JVM, local[N]) but every setting is the one
+you'd ship to a 1000-executor cluster: AQE on (runtime coalescing + skew-join
+splitting), Arrow enabled for the Python kernel boundary, bounded Arrow batch
+size so the extraction kernel's working set stays in executor memory at
+100 TB scale (batch width governs peak per-task memory, not data size).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "ai-service-ocr-grading-handler-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    n = int(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(2 * n, 32)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally provided session
+    (the driver hands us one in `entry`/`queries`)."""
+    for k, v in (
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.execution.arrow.maxRecordsPerBatch", "2048"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable at runtime in some deployments — fine
+    return spark

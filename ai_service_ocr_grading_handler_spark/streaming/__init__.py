@@ -1,0 +1,1 @@
+"""ai-service-ocr-grading-handler-spark: PySpark-native extraction engine."""

@@ -1,0 +1,116 @@
+"""Pure-Python extraction-core tests: byte-identity, spans, edge semantics."""
+
+from __future__ import annotations
+
+import duckdb
+
+from ai_service_ocr_grading_handler_spark.core.htmlx import extract_doc, normalize_ws, segment_blocks
+from ai_service_ocr_grading_handler_spark.corpus import (
+    DUCKDB_GOLDEN_TEXT_EXPR,
+    fixture_pages,
+    golden_text,
+    pages_rows_from_documents,
+    synth_html,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _doc_rows():
+    return duckdb.sql(
+        f"select doc_id, text, lang, source from read_parquet('{SF}/documents.parquet')"
+    ).df().to_dict("records")
+
+
+def test_byte_identity_documents_corpus():
+    rows = list(pages_rows_from_documents(iter(_doc_rows())))
+    assert len(rows) > 0
+    for row in rows:
+        assert extract_doc(row["html"]).text == row["text"], row["url"]
+
+
+def test_byte_identity_fixture_corpus():
+    for row in fixture_pages():
+        assert extract_doc(row["html"]).text == row["text"], row["url"]
+
+
+def test_empty_doc_extracts_empty():
+    row = next(r for r in fixture_pages() if r["url"].endswith("/empty"))
+    r = extract_doc(row["html"])
+    assert r.text == ""
+    assert r.spans == []
+
+
+def test_none_and_garbage_input():
+    assert extract_doc(None).text == ""
+    assert extract_doc(b"").text == ""
+    # non-html bytes: everything is one unclassified text run, long enough -> content
+    r = extract_doc(("word " * 40).strip().encode())
+    assert r.text == ("word " * 40).strip()
+    # invalid utf-8 must not raise
+    extract_doc(b"\xff\xfe<p>hi</p>")
+
+
+def test_spans_point_into_source():
+    rows = list(pages_rows_from_documents(iter(_doc_rows()[:20])))
+    for row in rows:
+        html_text = row["html"].decode("utf-8")
+        r = extract_doc(row["html"])
+        assert len(r.spans) == len([b for b in r.blocks if b.is_content])
+        for start, end, block_id in r.spans:
+            assert 0 <= start < end <= len(html_text)
+            blk = r.blocks[block_id]
+            # normalized source slice contains the block text (escaping aside)
+            assert normalize_ws(html_text[start:end]) != "" and blk.is_content
+
+
+def test_golden_text_matches_duckdb_expr():
+    expr = DUCKDB_GOLDEN_TEXT_EXPR.format(col="text")
+    sql = f"select text, {expr} as g from read_parquet('{SF}/documents.parquet')"
+    for text, g in duckdb.sql(sql).fetchall():
+        assert g == golden_text(text)
+
+
+def test_boilerplate_is_rejected():
+    # a page with ONLY boilerplate extracts to ''
+    html = synth_html([], "only-boiler")
+    assert extract_doc(html).text == ""
+
+
+def test_script_style_comments_ignored():
+    html = (
+        b"<html><body><script>var x = '<p>fake</p>';</script>"
+        b"<style>p{color:red}</style><!-- <p>ghost</p> -->"
+        b"<article><p>real content that is part of the article body</p></article>"
+        b"</body></html>"
+    )
+    assert extract_doc(html).text == "real content that is part of the article body"
+
+
+def test_entity_unescape_roundtrip():
+    para = 'Tom & Jerry say 2 < 3 and "quotes" survive'
+    html = synth_html([para], "entities")
+    assert extract_doc(html).text == para
+
+
+def test_link_density_classifier():
+    # a block outside article/main dominated by links is boilerplate
+    html = (
+        b"<html><body><div>"
+        b'<a href="/a">click here now</a> <a href="/b">more links here</a> ok</div>'
+        b"<div>"
+        + ("meaningful prose " * 10).strip().encode()
+        + b"</div></body></html>"
+    )
+    r = extract_doc(html)
+    assert r.text == ("meaningful prose " * 10).strip()
+
+
+def test_segment_blocks_inline_tags_do_not_split():
+    blocks = [
+        b
+        for b in segment_blocks("<body><p>Hel<b>lo</b> wor<i>ld</i></p></body>")
+        if b.text
+    ]
+    assert len(blocks) == 1
+    assert blocks[0].text == "Hello world"
