@@ -236,6 +236,108 @@ def fixture_pages() -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# grading-request side table (FIXTURES.md §2), synthesized deterministically
+# from `documents` with formulas expressible in BOTH Spark SQL and DuckDB —
+# mirrors the reference reqobj shape (testCase.txt:373,436)
+# ---------------------------------------------------------------------------
+
+GRADING_PROMPTS = [
+    "default",
+    "ocr",
+    "claude-ocr",
+    "expository-essay-ocr",
+    "argumentative-essay-ocr",
+    "gemini-number",
+    "whole-page-ocr",
+    "gpt-grading-only",
+]
+
+# 17th slot is '' to exercise the empty-modelName fallback (gen_ai_calling.py:159)
+MODEL_ALIAS_CYCLE = [
+    "gpt-4-latest", "gpt-3.5-latest", "claude-latest", "claude-small",
+    "claude-medium", "gemini-latest", "gemini-small", "gpt-vision",
+    "gpt-ocr-vision", "gpt-vision-mcq", "llamma-latest", "shozemi-gpt-latest",
+    "claude-vision-ocr", "ensamble-vision", "gemini-vision-number",
+    "whole-page-ocr", "",
+]
+
+LEVEL_CYCLE = ["Effective", "Good", "Satisfactory", "Normal", "Fair", "Poor"]
+
+# Per-rubric formulas, position i, 0 <= i <= doc_id % 3:
+#   rubricId   = 'r' || (doc_id*10 + i)
+#   max_i      = 0.5 * (1 + (doc_id + i) % 4)
+#   criteria_i = 'criteria-' || ((doc_id + i) % 7)
+#   resp_i     = CASE doc_id%5 WHEN 0 THEN max_i WHEN 1 THEN 0.0 ELSE max_i-0.5 END
+
+SPARK_RUBRICS_EXPR = (
+    "transform(sequence(0, cast(doc_id % 3 as int)), i -> named_struct("
+    " 'rubricId', concat('r', cast(doc_id*10 + i as string)),"
+    " 'score', cast(0.5 * (1 + pmod(doc_id + i, 4)) as double),"
+    " 'criteria', concat('criteria-', cast(pmod(doc_id + i, 7) as string))))"
+)
+
+SPARK_RESPONSES_EXPR = (
+    "transform(sequence(0, cast(doc_id % 3 as int)), i -> named_struct("
+    " 'rubricText', concat('text-', cast(i as string)),"
+    " 'rubricIndex', cast(i + 1 as int),"
+    " 'rubricWiseScore', CASE cast(doc_id % 5 as int)"
+    "   WHEN 0 THEN cast(0.5 * (1 + pmod(doc_id + i, 4)) as double)"
+    "   WHEN 1 THEN cast(0.0 as double)"
+    "   ELSE cast(0.5 * (1 + pmod(doc_id + i, 4)) - 0.5 as double) END))"
+)
+
+SPARK_LEVELS_EXPR = (
+    "transform(sequence(0, cast(doc_id % 4 as int)), i -> "
+    f"element_at(array({', '.join(repr(x) for x in LEVEL_CYCLE)}), cast(pmod(doc_id + i, 6) as int) + 1))"
+)
+
+SPARK_GRADING_PROMPT_EXPR = (
+    f"element_at(array({', '.join(repr(x) for x in GRADING_PROMPTS)}), cast(doc_id % 8 as int) + 1)"
+)
+
+SPARK_MODEL_NAME_EXPR = (
+    f"element_at(array({', '.join(repr(x) for x in MODEL_ALIAS_CYCLE)}), cast(doc_id % 17 as int) + 1)"
+)
+
+# DuckDB scalar equivalents (for exploded per-rubric oracle rows, pos = i):
+DUCKDB_RUBRIC_ID = "('r' || (doc_id*10 + i))"
+DUCKDB_RUBRIC_MAX = "(0.5 * (1 + (doc_id + i) % 4))"
+DUCKDB_RUBRIC_CRITERIA = "('criteria-' || ((doc_id + i) % 7))"
+DUCKDB_RESP_SCORE = (
+    "(CASE doc_id % 5 WHEN 0 THEN 0.5 * (1 + (doc_id + i) % 4)"
+    " WHEN 1 THEN 0.0 ELSE 0.5 * (1 + (doc_id + i) % 4) - 0.5 END)"
+)
+DUCKDB_GRADING_PROMPT = (
+    "(["
+    + ", ".join(f"'{x}'" for x in GRADING_PROMPTS)
+    + "][(doc_id % 8)::int + 1])"
+)
+DUCKDB_MODEL_NAME = (
+    "([" + ", ".join(f"'{x}'" for x in MODEL_ALIAS_CYCLE) + "][(doc_id % 17)::int + 1])"
+)
+DUCKDB_LEVEL_AT_I = (
+    "(["
+    + ", ".join(f"'{x}'" for x in LEVEL_CYCLE)
+    + "][((doc_id + i) % 6)::int + 1])"
+)
+
+
+def requests_df(spark, sf_dir: str):
+    """documents -> grading-request rows: url-keyed reqobj analog with
+    rubric/response/level arrays and routing inputs, all native columns."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.withColumn("rubrics", F.expr(SPARK_RUBRICS_EXPR))
+        .withColumn("responses", F.expr(SPARK_RESPONSES_EXPR))
+        .withColumn("levels", F.expr(SPARK_LEVELS_EXPR))
+        .withColumn("grading_prompt", F.expr(SPARK_GRADING_PROMPT_EXPR))
+        .withColumn("model_name_raw", F.expr(SPARK_MODEL_NAME_EXPR))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Spark builders (import guarded so the pure-python oracle has no Spark dep)
 # ---------------------------------------------------------------------------
 

@@ -21,9 +21,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ai_service_ocr_grading_handler_spark.corpus import (
     DUCKDB_GOLDEN_TEXT_EXPR,
+    DUCKDB_GRADING_PROMPT,
+    DUCKDB_LEVEL_AT_I,
+    DUCKDB_MODEL_NAME,
+    DUCKDB_RESP_SCORE,
+    DUCKDB_RUBRIC_CRITERIA,
+    DUCKDB_RUBRIC_ID,
+    DUCKDB_RUBRIC_MAX,
     DUCKDB_URL_EXPR,
     pages_df_from_documents,
+    requests_df,
 )
+from ai_service_ocr_grading_handler_spark.core.textops import LLM_NAME_MAPPING
+from ai_service_ocr_grading_handler_spark.operators import scoring
 from ai_service_ocr_grading_handler_spark.operators.extract import extract_pages
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -269,4 +279,196 @@ def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_tokens / (F.length("text") / F.lit(100.0)), 4).alias(
             "tokens_per_100_chars"
         ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Grading/scoring parity (SURVEY.md §2.2/§2.3/§2.4: P6-P9, J2, J3, A1, A2, T6)
+# ---------------------------------------------------------------------------
+
+_REQ_FROM = "FROM documents d, range(0, 3) t(i) WHERE t.i <= d.doc_id % 3"
+
+
+@register(
+    "grade_requests",
+    f"""
+    SELECT d.doc_id,
+           {DUCKDB_GRADING_PROMPT.replace('doc_id', 'd.doc_id')} AS grading_prompt,
+           round(sum({DUCKDB_RESP_SCORE.replace('doc_id', 'd.doc_id')}), 2) AS score,
+           round(sum({DUCKDB_RUBRIC_MAX.replace('doc_id', 'd.doc_id')}), 2) AS max_score,
+           sum({DUCKDB_RESP_SCORE.replace('doc_id', 'd.doc_id')})
+             = sum({DUCKDB_RUBRIC_MAX.replace('doc_id', 'd.doc_id')}) AS is_correct,
+           (d.text = '' OR lower(d.text) = 'Empty Response') AS is_blank
+    {_REQ_FROM}
+    GROUP BY d.doc_id, d.text
+    ORDER BY d.doc_id
+    """,
+)
+def q_grade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grading stage (K10 fuse minus the kernel): positional rubric zip
+    J3, array-fold sums A1, flags P8/P9 — all native columns, zero shuffles
+    besides none (per-row folds)."""
+    req = requests_df(spark, sf_dir)
+    g = scoring.grade(req)
+    return g.select(
+        "doc_id",
+        "grading_prompt",
+        F.round("score", 2).alias("score"),
+        F.round("max_score", 2).alias("max_score"),
+        "is_correct",
+        "is_blank",
+    ).orderBy("doc_id")
+
+
+@register(
+    "rubric_zip_exploded",
+    f"""
+    SELECT d.doc_id, t.i AS pos,
+           {DUCKDB_RUBRIC_ID.replace('doc_id', 'd.doc_id')} AS rubricId,
+           {DUCKDB_RESP_SCORE.replace('doc_id', 'd.doc_id')} AS rubricWiseScore,
+           {DUCKDB_RUBRIC_MAX.replace('doc_id', 'd.doc_id')} AS rubricWiseMaxScore,
+           {DUCKDB_RUBRIC_CRITERIA.replace('doc_id', 'd.doc_id')} AS criteria
+    {_REQ_FROM}
+    ORDER BY d.doc_id, pos
+    """,
+)
+def q_rubric_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 positional zip, exploded to scalar rows (posexplode) so the oracle
+    checks every grafted field at every position."""
+    req = requests_df(spark, sf_dir)
+    zipped = req.withColumn(
+        "rwr", scoring.rubric_zip(F.col("rubrics"), F.col("responses"))
+    )
+    return zipped.select(
+        "doc_id", F.posexplode("rwr").alias("pos", "r")
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("r.rubricId").alias("rubricId"),
+        F.col("r.rubricWiseScore").alias("rubricWiseScore"),
+        F.col("r.rubricWiseMaxScore").alias("rubricWiseMaxScore"),
+        F.col("r.criteria").alias("criteria"),
+    ).orderBy("doc_id", "pos")
+
+
+def _model_case_sql(field: str) -> str:
+    whens = " ".join(
+        f"WHEN '{alias}' THEN '{v[field]}'" for alias, v in LLM_NAME_MAPPING.items()
+    )
+    return f"CASE model_alias {whens} ELSE 'model does not found' END"
+
+
+@register(
+    "route_requests",
+    f"""
+    WITH r AS (
+      SELECT doc_id, {DUCKDB_GRADING_PROMPT} AS gp, {DUCKDB_MODEL_NAME} AS mn
+      FROM documents
+    ), a AS (
+      SELECT doc_id,
+        CASE WHEN gp = 'expository-essay-ocr' THEN 'claude-vision-ocr'
+             WHEN gp IN ('ocr', 'OCR', 'gpt-ocr') THEN 'gpt-ocr-vision'
+             WHEN gp = 'gpt-grading-only' THEN 'gpt-4-latest'
+             WHEN gp = 'claude-ocr' THEN 'claude-vision-ocr'
+             WHEN gp = 'argumentative-essay-ocr' THEN 'shozemi-gpt-latest'
+             WHEN gp = 'gemini-number' THEN 'gemini-vision-number'
+             WHEN gp = 'whole-page-ocr' THEN 'whole-page-ocr'
+             ELSE CASE WHEN mn IS NOT NULL AND mn <> '' THEN mn ELSE 'gpt-4-latest' END
+        END AS model_alias
+      FROM r
+    )
+    SELECT doc_id, model_alias,
+           {_model_case_sql('modelName')} AS model_name,
+           {_model_case_sql('modelClass')} AS model_class
+    FROM a ORDER BY doc_id
+    """,
+)
+def q_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 routing chain + J2 broadcast dim join (16-row model table)."""
+    req = requests_df(spark, sf_dir)
+    routed = req.withColumn(
+        "model_alias",
+        scoring.route_alias(F.col("grading_prompt"), F.col("model_name_raw")),
+    )
+    mapped = scoring.with_model_mapping(routed, spark)
+    return mapped.select("doc_id", "model_alias", "model_name", "model_class").orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "rubric_stringify",
+    f"""
+    SELECT d.doc_id,
+           'Rubrics: ' || string_agg(
+             {DUCKDB_RUBRIC_MAX.replace('doc_id', 'd.doc_id')}::varchar
+               || ' Points: ' || {DUCKDB_RUBRIC_CRITERIA.replace('doc_id', 'd.doc_id')} || ', ',
+             '' ORDER BY t.i) AS rubric_string
+    {_REQ_FROM}
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q_rubric_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 rubric stringification (utils.py:132-140) as a per-row array fold."""
+    req = requests_df(spark, sf_dir)
+    return req.select(
+        "doc_id", scoring.rubric_to_string(F.col("rubrics")).alias("rubric_string")
+    ).orderBy("doc_id")
+
+
+@register(
+    "level_confidence",
+    f"""
+    SELECT doc_id,
+           round(sum(CASE WHEN lv IN ('Effective','Good','Satisfactory') THEN 1.0
+                          WHEN lv IN ('Normal','Fair') THEN 0.5
+                          ELSE 0.0 END), 1) AS confidence
+    FROM (
+      SELECT d.doc_id, {DUCKDB_LEVEL_AT_I.replace('doc_id', 'd.doc_id')} AS lv
+      FROM documents d, range(0, 4) t(i) WHERE t.i <= d.doc_id % 4
+    )
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_level_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 level->score aggregation (utils.py:146-162) as aggregate(transform)."""
+    req = requests_df(spark, sf_dir)
+    return req.select(
+        "doc_id", F.round(scoring.level_score(F.col("levels")), 1).alias("confidence")
+    ).orderBy("doc_id")
+
+
+@register(
+    "empty_short_circuit",
+    """
+    WITH x AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN 'given image is empty' ELSE text END AS ocr,
+             0.5 * (doc_id % 7) AS raw_score
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN lower(ocr) = 'given image is empty' THEN 0.0 ELSE raw_score END AS final_score,
+           CASE WHEN lower(ocr) = 'given image is empty' THEN 'No answer provided'
+                ELSE 'graded' END AS final_feedback
+    FROM x ORDER BY doc_id
+    """,
+)
+def q_empty_sc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 empty-document short-circuit (gen_ai_calling.py:298-299,319-320):
+    predicate-gated columns, no plan branch."""
+    docs = _t(spark, sf_dir, "documents")
+    x = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(scoring.EMPTY_DOC_SENTINEL))
+        .otherwise(F.col("text"))
+        .alias("ocr"),
+        (F.lit(0.5) * (F.col("doc_id") % 7)).alias("raw_score"),
+    )
+    score, feedback = scoring.empty_short_circuit(
+        F.col("ocr"), F.col("raw_score"), F.lit("graded")
+    )
+    return x.select(
+        "doc_id", score.alias("final_score"), feedback.alias("final_feedback")
     ).orderBy("doc_id")
