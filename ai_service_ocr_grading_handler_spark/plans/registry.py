@@ -33,7 +33,8 @@ from ai_service_ocr_grading_handler_spark.corpus import (
     requests_df,
 )
 from ai_service_ocr_grading_handler_spark.core.textops import LLM_NAME_MAPPING
-from ai_service_ocr_grading_handler_spark.operators import scoring
+from ai_service_ocr_grading_handler_spark.functions import spans
+from ai_service_ocr_grading_handler_spark.operators import ensemble, scoring
 from ai_service_ocr_grading_handler_spark.operators.extract import extract_pages
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -472,3 +473,159 @@ def q_empty_sc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return x.select(
         "doc_id", score.alias("final_score"), feedback.alias("final_feedback")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Span extractors T1-T3 (utils.py:167-203) — pandas-UDF kernels whose oracle
+# reconstructs the expected output WITHOUT regex (proves the extractor, not
+# just regex-engine agreement).
+# ---------------------------------------------------------------------------
+
+_PAYLOAD_SPARK = "array_join(slice(split(text, ' '), 1, 8), ' ')"
+_PAYLOAD_DUCK = "array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')"
+
+
+@register(
+    "span_extract_ocr",
+    f"""
+    SELECT doc_id, (doc_id % 4)::int AS variant,
+           {_PAYLOAD_DUCK} AS extracted
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_span_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 `find_data_in_string(s,'ocr')`: four raw-model-output shapes
+    (ocr:'...', {{"ocr": "..."}}, quote-wrapped, plain) must all yield the
+    bare payload. Variant 0 uses single quotes: the reference strips leading/
+    trailing DOUBLE quotes before matching (utils.py:169), so `ocr: "x"`
+    loses its closing quote and falls through — single-quoted payloads are
+    the shape the extractor actually recovers."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.expr(_PAYLOAD_SPARK)
+    variant = (F.col("doc_id") % 4).cast("int")
+    raw = (
+        F.when(variant == 0, F.concat(F.lit("ocr: '"), payload, F.lit("'")))
+        .when(variant == 1, F.concat(F.lit('{"ocr": "'), payload, F.lit('"}')))
+        .when(variant == 2, F.concat(F.lit('""'), payload, F.lit('""')))
+        .otherwise(payload)
+    )
+    return docs.select(
+        "doc_id",
+        variant.alias("variant"),
+        spans.extract_ocr_span(raw).alias("extracted"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "span_extract_claude_json",
+    f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN '{{"score": ' || (doc_id % 10) || '}}'
+                ELSE 'plain response ' || {_PAYLOAD_DUCK}
+           END AS extracted
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_span_claude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 `find_data_in_string(s,'claude-json')`: first minimal {...} block,
+    else the whole input."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.expr(_PAYLOAD_SPARK)
+    raw = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('model says {"score": '),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("} trailing text"),
+        ),
+    ).otherwise(F.concat(F.lit("plain response "), payload))
+    return docs.select(
+        "doc_id", spans.extract_claude_json(raw).alias("extracted")
+    ).orderBy("doc_id")
+
+
+@register(
+    "essay_feedback_parse",
+    """
+    SELECT d.doc_id,
+           string_agg('fp-' || t.i || ' - imp-' || t.i, chr(10) || chr(10)
+                      ORDER BY t.i) AS feedback,
+           round(sum(CASE
+             WHEN (['Effective','Good','Satisfactory','Normal','Fair','Poor']
+                   [((d.doc_id + t.i) % 6)::int + 1])
+                  IN ('Effective','Good','Satisfactory') THEN 1.0
+             WHEN (['Effective','Good','Satisfactory','Normal','Fair','Poor']
+                   [((d.doc_id + t.i) % 6)::int + 1])
+                  IN ('Normal','Fair') THEN 0.5
+             ELSE 0.0 END), 1) AS confidence
+    FROM documents d, range(0, 3) t(i) WHERE t.i <= d.doc_id % 3
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def q_essay_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3+A2 (K11 tail): multi-JSON essay feedback blocks parsed out of raw
+    text, formatted, level-scored — the argumentative-essay-ocr pipeline
+    (utils.py:190-203 + utils.py:146-162)."""
+    docs = _t(spark, sf_dir, "documents")
+    lv = (
+        "element_at(array('Effective','Good','Satisfactory','Normal','Fair','Poor'),"
+        " cast(pmod(doc_id + j, 6) as int) + 1)"
+    )
+    raw = F.expr(
+        "array_join(transform(sequence(0, cast(doc_id % 3 as int)), j -> concat("
+        " '{\"FeedbackPointName\": \"fp-', cast(j as string),"
+        " '\", \"levelName\": \"', " + lv + ","
+        " '\", \"improvement\": \"imp-', cast(j as string), '\"}')), '\n')"
+    )
+    parsed = spans.parse_essay_feedback(raw)
+    return docs.select(
+        "doc_id",
+        parsed.getField("feedback").alias("feedback"),
+        F.round(parsed.getField("confidence"), 1).alias("confidence"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Group-batch ensemble/number kernel (K12/K13/A5/A3/J4/T9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ensemble_number_batch",
+    """
+    WITH r AS (
+      SELECT doc_id,
+             doc_id // 8 AS batch_id,
+             (doc_id % 8)::int AS pos,
+             ((doc_id * 7) % 100)::int AS correct_answer,
+             1.0 + (doc_id % 3) AS max_score,
+             CASE WHEN doc_id % 8 = 0 OR doc_id % 5 <> 1
+                  THEN ((doc_id * 7) % 100)::int
+                  ELSE ((doc_id * 7 + 3) % 100)::int END AS predicted
+      FROM documents
+    ), s AS (
+      SELECT *, length('PNGFAKE|' || predicted) AS w, 20 + (predicted % 5) AS h
+      FROM r
+    )
+    SELECT doc_id, batch_id, pos, predicted, correct_answer,
+           last_value(CASE WHEN predicted = correct_answer THEN max_score END
+                      IGNORE NULLS)
+             OVER (PARTITION BY batch_id ORDER BY pos) AS score,
+           max_score,
+           TRUE AS batch_valid,
+           (max(w) OVER (PARTITION BY batch_id))::int AS stacked_width,
+           (sum(h) OVER (PARTITION BY batch_id)
+              + 10 * (count(*) OVER (PARTITION BY batch_id) - 1))::int
+             AS stacked_height
+    FROM s ORDER BY doc_id
+    """,
+)
+def q_ensemble_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full NumberOCR batch lifecycle in one applyInPandas group kernel:
+    stack fold A5, single batched parse K13, count check A3, positional
+    exact-match scoring J4 with the reference's stale-score quirk
+    (llm_number_prediction.py:185-205). Oracle replays the quirk with
+    last_value(... IGNORE NULLS) over the batch window."""
+    req = ensemble.number_requests(spark, sf_dir)
+    return ensemble.predict_numbers(req).orderBy("doc_id")

@@ -1,0 +1,59 @@
+"""Group-batch ensemble/number kernel (SURVEY.md §2.8 K12/K13, §2.3 J4,
+§2.4 A3/A5) — semantics + distribution invariance."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ai_service_ocr_grading_handler_spark.operators import ensemble
+
+SF = "/root/testdata/sf0.001"
+
+
+def _results(spark, df=None):
+    req = df if df is not None else ensemble.number_requests(spark, SF)
+    return ensemble.predict_numbers(req).orderBy("doc_id").toPandas()
+
+
+def test_exact_match_scores_full_marks(spark):
+    out = _results(spark)
+    matched = out[out.predicted == out.correct_answer]
+    assert (matched.score == matched.max_score).all()
+
+
+def test_stale_score_quirk(spark):
+    """A mismatching row inherits the most recent matching row's max_score
+    within its batch (llm_number_prediction.py:185-205 stale variable)."""
+    out = _results(spark)
+    for _, grp in out.groupby("batch_id"):
+        grp = grp.sort_values("pos").reset_index(drop=True)
+        last = None
+        for _, r in grp.iterrows():
+            if r.predicted == r.correct_answer:
+                last = r.max_score
+            assert r.score == last
+    # the corpus must actually exercise the quirk
+    mismatches = out[out.predicted != out.correct_answer]
+    assert len(mismatches) > 0
+    assert (mismatches.score != mismatches.max_score).any()
+
+
+def test_count_validation_and_stack_fold(spark):
+    """A3: every batch valid; A5: stacked dims are the canvas fold over the
+    batch's crops."""
+    out = _results(spark)
+    assert out.batch_valid.all()
+    for _, grp in out.groupby("batch_id"):
+        width = max(len(f"PNGFAKE|{p}") for p in grp.predicted)
+        height = sum(20 + p % 5 for p in grp.predicted) + 10 * (len(grp) - 1)
+        assert (grp.stacked_width == width).all()
+        assert (grp.stacked_height == height).all()
+
+
+def test_partitioning_invariance(spark):
+    """Same results no matter how the input is partitioned before the
+    group shuffle (batch integrity comes from groupBy, not layout)."""
+    req = ensemble.number_requests(spark, SF)
+    base = _results(spark, req)
+    scrambled = _results(spark, req.repartition(13, F.col("doc_id")))
+    assert base.equals(scrambled)
