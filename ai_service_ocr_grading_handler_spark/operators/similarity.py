@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- **Brute-force cosine top-k** — the correctness baseline: a broadcast
+  cross-join of a small query set against the corpus, dot products as native
+  per-row array folds (`zip_with` + `aggregate`, JVM-side, no Python), then
+  a per-query window top-k. Cost: |queries| x |corpus| — fine when the query
+  set is broadcastable, the exact-verification tail of any ANN pipeline.
+- **Sign-LSH (random-hyperplane) buckets** — the 100 TB path: a P-bit
+  signature per vector from deterministic Rademacher hyperplanes; bucket
+  equality generates candidates (shuffle on small bucket keys), cosine
+  verifies ONLY candidates. Hyperplanes are a fixed ±1 pattern derived from
+  (plane, dim) arithmetic so both Spark and the DuckDB oracle compute the
+  identical signature — and re-runs are deterministic (resume-safe).
+
+All arithmetic is done in float64 in INDEX ORDER on both sides (Spark
+`aggregate` folds left-to-right; DuckDB `list_sum` over `list_transform`),
+then rounded to 4 decimals before any threshold/rank so the two engines
+cannot diverge on ties.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+EMB_DIM = 64
+LSH_PLANES = 16
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ a[i]*b[i] in float64, index order (native fold, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+DUCK_DOT = (
+    "list_sum(list_transform(range(1, {dim} + 1),"
+    " i -> ({a})[i]::double * ({b})[i]::double))"
+)
+
+
+def duck_cosine(a: str, b: str, dim: int = EMB_DIM) -> str:
+    dot = DUCK_DOT.format(a=a, b=b, dim=dim)
+    na = DUCK_DOT.format(a=a, b=a, dim=dim)
+    nb = DUCK_DOT.format(a=b, b=b, dim=dim)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def cosine_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 20,
+) -> DataFrame:
+    """Brute-force exact top-k: rank over round(cos,4) desc, neighbor id asc
+    (rounding first makes the rank identical across engines)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_emb"), F.col("n_emb")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", "cos")
+    )
+
+
+# --- sign-LSH -----------------------------------------------------------------
+# hyperplane sign s(p, d) = +1 if (p*97 + d*31 + (p*d) % 7) % 2 == 0 else -1
+# (fixed arithmetic pattern, identical in Spark SQL and DuckDB)
+
+_SIGN_SPARK = "(CASE WHEN pmod({p}*97 + d*31 + pmod({p}*d, 7), 2) = 0 THEN 1.0 ELSE -1.0 END)"
+_SIGN_DUCK = "(CASE WHEN (({p}*97 + d*31 + ({p}*d) % 7) % 2) = 0 THEN 1.0 ELSE -1.0 END)"
+
+
+def lsh_bucket_col(emb_col: str = "embedding", planes: int = LSH_PLANES) -> Column:
+    """P-bit signature: bit p = sign(Σ_d emb[d] * s(p,d)) — per-row fold."""
+    terms = " + ".join(
+        (
+            "(CASE WHEN aggregate(zip_with({e}, sequence(0, size({e}) - 1),"
+            " (x, d) -> cast(x as double) * {s}), 0.0D, (acc, v) -> acc + v) >= 0"
+            " THEN shiftleft(1L, {p}) ELSE 0L END)"
+        ).format(e=emb_col, s=_SIGN_SPARK.format(p=p), p=p)
+        for p in range(planes)
+    )
+    return F.expr(terms)
+
+
+def lsh_bucket_duck(emb_expr: str, dim: int = EMB_DIM, planes: int = LSH_PLANES) -> str:
+    terms = " + ".join(
+        (
+            "(CASE WHEN list_sum(list_transform(range(0, {dim}),"
+            " d -> ({e})[d + 1]::double * {s})) >= 0"
+            " THEN (1::bigint << {p}) ELSE 0 END)"
+        ).format(e=emb_expr, s=_SIGN_DUCK.format(p=p), p=p, dim=dim)
+        for p in range(planes)
+    )
+    return f"({terms})"
+
+
+def neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + planted exact duplicates (vec_id+10000 for vec_id%7==0):
+    the near-dup ground truth for the LSH query."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    copies = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return emb.unionAll(copies)
+
+
+NEARDUP_CORPUS_DUCK = """
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 7 = 0
+"""
+
+
+def lsh_neardups(df: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """ANN near-dup pairs: bucket join on the LSH signature, cosine-verify
+    candidates only. At scale this shuffles on bucket keys (tiny) and never
+    materializes the all-pairs cross product."""
+    sigs = df.select("vec_id", "embedding", lsh_bucket_col().alias("bucket"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.col("a.bucket").alias("bucket"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

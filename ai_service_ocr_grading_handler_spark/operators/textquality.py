@@ -1,0 +1,171 @@
+"""Text-analysis operators for training-data curation: language ID, quality
+scoring, tokenizer-style token counting, and content fingerprinting.
+
+All four are pure per-row column expressions (whole-stage codegen, zero
+Python, zero shuffle) — at 100 TB these run at scan speed and their cost is
+the parquet read. Every operator has an exact DuckDB oracle.
+
+The word-count/char-count heritage in the reference is the essay rubric
+"Word Count 100+/120+" scored from extracted text
+(/root/reference/engine/core/gen_ai_calling.py:189,
+engine/gen_utils_files/testCase.txt:299); the rest generalizes it to the
+standard web-corpus quality gates (Gopher/C4-style length, punctuation and
+stopword heuristics).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# --- stopword dimension (tiny, fixed; closure-captured, no join needed) -------
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "de": ["der", "die", "das", "und", "zu", "den", "von", "ist", "mit", "ein"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "que"],
+}
+LANG_PREFERENCE = ["en", "es", "de", "fr"]  # deterministic tie-break order
+
+# BPE-ish pre-tokenizer: letter runs | single digits | single punctuation.
+# RE2-safe (no lookarounds) so Spark (Java regex) and DuckDB (RE2) agree.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+_CJK_SPARK = "[\\u3040-\\u30ff\\u4e00-\\u9fff\\uac00-\\ud7af]"
+_CJK_DUCK = "[\\x{3040}-\\x{30ff}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7af}]"
+
+
+def words(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def stopword_hits(lang: str, text_col: str = "text") -> Column:
+    """# distinct stopwords of `lang` present (array_intersect, per-row)."""
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(words(text_col)), stops))
+
+
+def duck_stopword_hits(lang: str, col: str = "text") -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_intersect(list_distinct(string_split({col}, ' ')), [{lst}]))"
+    )
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """Heuristic language ID: CJK script detection first, then stopword-hit
+    argmax across the dimension lists, 'und' when nothing hits."""
+    hits = {lg: stopword_hits(lg, text_col) for lg in LANG_PREFERENCE}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lg in reversed(LANG_PREFERENCE):
+        expr = F.when((hits[lg] == best) & (best > 0), F.lit(lg)).otherwise(expr)
+    return F.when(
+        F.col(text_col).rlike(_CJK_SPARK), F.lit("cjk")
+    ).otherwise(expr)
+
+
+def duck_lang_id(col: str = "text") -> str:
+    hits = {lg: duck_stopword_hits(lg, col) for lg in LANG_PREFERENCE}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    expr = "'und'"
+    for lg in reversed(LANG_PREFERENCE):
+        expr = (
+            f"CASE WHEN {hits[lg]} = {best} AND {best} > 0 THEN '{lg}' ELSE {expr} END"
+        )
+    return (
+        f"CASE WHEN regexp_matches({col}, '{_CJK_DUCK}') THEN 'cjk' ELSE {expr} END"
+    )
+
+
+def quality_score(text_col: str = "text") -> dict[str, Column]:
+    """Gopher/C4-style quality features + a composite score, all native.
+
+    - n_words, mean_word_len
+    - punct_ratio: punctuation chars / chars
+    - stopword_ratio: english stopword hits / distinct words
+    - quality: 1.0 gated down by degenerate length / punct spam / no stopwords
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    ws = words(text_col)
+    n_words = F.size(ws)
+    mean_wl = (n_chars - (n_words - 1)) / n_words  # chars net of separators
+    n_punct = F.length(F.regexp_replace(t, "[^.,;:!?]", ""))
+    punct_ratio = n_punct / n_chars
+    sw_ratio = stopword_hits("en", text_col) / F.size(F.array_distinct(ws))
+    quality = (
+        F.when((n_words < 5) | (n_words > 10000), F.lit(0.0))
+        .when(mean_wl < 2, F.lit(0.1))
+        .when(punct_ratio > 0.2, F.lit(0.2))
+        .otherwise(
+            F.least(F.lit(1.0), F.lit(0.5) + sw_ratio + F.lit(0.25) * (punct_ratio > 0).cast("double"))
+        )
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(mean_wl, 4),
+        "punct_ratio": F.round(punct_ratio, 4),
+        "stopword_ratio": F.round(sw_ratio, 4),
+        "quality": F.round(quality, 4),
+    }
+
+
+def duck_quality_exprs(col: str = "text") -> dict[str, str]:
+    n_chars = f"length({col})"
+    n_words = f"len(string_split({col}, ' '))"
+    mean_wl = f"(({n_chars} - ({n_words} - 1)) / {n_words})"
+    n_punct = f"length(regexp_replace({col}, '[^.,;:!?]', '', 'g'))"
+    punct_ratio = f"({n_punct} / {n_chars})"
+    sw = duck_stopword_hits("en", col)
+    sw_ratio = f"({sw} / len(list_distinct(string_split({col}, ' '))))"
+    quality = (
+        f"CASE WHEN {n_words} < 5 OR {n_words} > 10000 THEN 0.0"
+        f" WHEN {mean_wl} < 2 THEN 0.1"
+        f" WHEN {punct_ratio} > 0.2 THEN 0.2"
+        f" ELSE least(1.0, 0.5 + {sw_ratio} + 0.25 * (CASE WHEN {punct_ratio} > 0 THEN 1 ELSE 0 END)) END"
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": f"round({mean_wl}, 4)",
+        "punct_ratio": f"round({punct_ratio}, 4)",
+        "stopword_ratio": f"round({sw_ratio}, 4)",
+        "quality": f"round({quality}, 4)",
+    }
+
+
+def bpe_token_count(text_col: str = "text") -> Column:
+    """Tokenizer-style token count: length of the BPE-ish pre-token split."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0))
+
+
+def duck_bpe_token_count(col: str = "text") -> str:
+    return f"len(regexp_extract_all({col}, '{BPE_TOKEN_RE}'))"
+
+
+# --- fingerprinting -------------------------------------------------------------
+
+_KR_BASE = 1000003
+_KR_MOD = (1 << 31) - 1
+# word -> 60-bit md5 int (same formula as dedup.simhash): reduced mod 2^31-1
+_WORD_H_SPARK = "pmod(cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint), 2147483647)"
+_WORD_H_DUCK = "((('0x' || substr(md5(w), 1, 15))::bigint) % 2147483647)"
+
+
+def rolling_fingerprint(text_col: str = "text") -> Column:
+    """Karp-Rabin rolling hash over the word sequence (order-sensitive, unlike
+    the shingle-min fingerprint): fold acc = (acc*B + h(w)) mod 2^31-1."""
+    return F.expr(
+        f"aggregate(split({text_col}, ' '), 0L,"
+        f" (acc, w) -> pmod(acc * {_KR_BASE} + {_WORD_H_SPARK}, {_KR_MOD}))"
+    )
+
+
+def duck_rolling_fingerprint(col: str = "text") -> str:
+    # list_reduce seeds with the first element; Spark's 0-init fold yields
+    # (0*B + h0) % M = h0 for the first word, so the two folds agree.
+    return (
+        f"list_reduce(list_transform(string_split({col}, ' '), w -> {_WORD_H_DUCK}),"
+        f" (acc, h) -> (acc * {_KR_BASE} + h) % {_KR_MOD})"
+    )

@@ -629,3 +629,239 @@ def q_ensemble_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     last_value(... IGNORE NULLS) over the batch window."""
     req = ensemble.number_requests(spark, sf_dir)
     return ensemble.predict_numbers(req).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication tier (exact / n-gram Jaccard / MinHash-LSH / SimHash)
+# ---------------------------------------------------------------------------
+
+from ai_service_ocr_grading_handler_spark.operators import dedup as _dd
+from ai_service_ocr_grading_handler_spark.operators import similarity as _sim
+from ai_service_ocr_grading_handler_spark.operators import textquality as _tq
+
+
+@register(
+    "exact_dedup",
+    f"""
+    WITH dup AS ({_dd.DUP_CORPUS_DUCK})
+    SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM dup GROUP BY 1 ORDER BY canonical_id
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup = hash-groupBy on md5(text); the 20%-planted exact copies
+    collapse onto their canonical (minimum) id. One shuffle on the hash key
+    — the SQS MessageDeduplicationId analog, content-keyed."""
+    return _dd.exact_dedup(_dd.dup_corpus(spark, sf_dir)).orderBy("canonical_id")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH dup AS ({_dd.DUP_CORPUS_DUCK}),
+    sh AS (SELECT doc_id, unnest({_dd.SHINGLES_DUCK}) AS sh FROM dup),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, shared,
+           round(shared / (ca.n + cb.n - shared), 4) AS jaccard
+    FROM pairs
+    JOIN counts ca ON ca.doc_id = a_id
+    JOIN counts cb ON cb.doc_id = b_id
+    WHERE shared / (ca.n + cb.n - shared) >= 0.6
+    ORDER BY a_id, b_id
+    """,
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.6) — the
+    correctness baseline the MinHash-LSH tier verifies against."""
+    return _dd.jaccard_pairs(_dd.dup_corpus(spark, sf_dir)).orderBy("a_id", "b_id")
+
+
+@register("minhash_lsh_neardups", None)  # xxhash64 has no DuckDB equivalent:
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) -> 16x2 LSH banding -> bucket-join candidates -> exact
+    verification. Rows-only for the driver; tests/test_dedup.py asserts the
+    output EQUALS ngram_jaccard_pairs on the planted corpus (recall 1.0)."""
+    return _dd.minhash_lsh_neardups(_dd.dup_corpus(spark, sf_dir)).orderBy(
+        "a_id", "b_id"
+    )
+
+
+_SIMHASH_DUCK = _dd.simhash_duck_expr("wh")
+
+
+@register(
+    "simhash_signatures",
+    f"""
+    WITH dup AS ({_dd.DUP_CORPUS_DUCK}),
+    h AS (SELECT doc_id, {_dd.WORD_HASHES_DUCK.format(col='text')} AS wh FROM dup)
+    SELECT doc_id, {_SIMHASH_DUCK} AS simhash FROM h ORDER BY doc_id
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per doc as a pure per-row fold (zero shuffle, zero
+    Python): exact copies hash identically; near copies land within a few
+    bits (tests assert the Hamming bound)."""
+    dup = _dd.dup_corpus(spark, sf_dir)
+    return (
+        dup.withColumn("word_hashes", _dd.word_hashes_col("text"))
+        .select("doc_id", _dd.simhash_col("word_hashes").alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (brute-force exact + sign-LSH ANN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cosine_topk",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             round({_sim.duck_cosine('q.embedding', 'c.embedding')}, 4) AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+    )
+    SELECT q_id, rank, n_id, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 20 query vectors: broadcast
+    cross-join + native float64 array folds + per-query window top-k."""
+    return _sim.cosine_topk(spark, sf_dir, k=5, n_queries=20).orderBy("q_id", "rank")
+
+
+@register(
+    "lsh_ann_buckets",
+    f"""
+    SELECT vec_id, {_sim.lsh_bucket_duck('embedding')} AS bucket
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-plane sign-LSH signature per vector (deterministic Rademacher
+    hyperplanes) — the bucketing stage of the ANN scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", _sim.lsh_bucket_col("embedding").alias("bucket")
+    ).orderBy("vec_id")
+
+
+@register(
+    "lsh_ann_neardups",
+    f"""
+    WITH corpus AS ({_sim.NEARDUP_CORPUS_DUCK}),
+    sigs AS (
+      SELECT vec_id, embedding, {_sim.lsh_bucket_duck('embedding')} AS bucket
+      FROM corpus
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket,
+           round({_sim.duck_cosine('a.embedding', 'b.embedding')}, 4) AS cos
+    FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_sim.duck_cosine('a.embedding', 'b.embedding')}, 4) >= 0.9
+    ORDER BY a_id, b_id
+    """,
+)
+def q_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection, LSH-bucketed: candidates from bucket
+    equality, cosine verified (>= 0.9). The planted exact copies are found
+    without any all-pairs product."""
+    return _sim.lsh_neardups(_sim.neardup_corpus(spark, sf_dir)).orderBy(
+        "a_id", "b_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language ID, quality, BPE-ish tokens, fingerprints
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_lang_id",
+    f"""
+    SELECT doc_id, {_tq.duck_lang_id('text')} AS lang_pred
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: CJK script regex, then stopword-hit argmax —
+    all native expressions (fixture corpus exercises the CJK branch)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", _tq.lang_id("text").alias("lang_pred")).orderBy(
+        "doc_id"
+    )
+
+
+_QD = _tq.duck_quality_exprs("text")
+
+
+@register(
+    "doc_quality",
+    f"""
+    SELECT doc_id, {_QD['n_words']} AS n_words,
+           {_QD['mean_word_len']} AS mean_word_len,
+           {_QD['punct_ratio']} AS punct_ratio,
+           {_QD['stopword_ratio']} AS stopword_ratio,
+           {_QD['quality']} AS quality
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality gates as native columns — runs at scan speed."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = _tq.quality_score("text")
+    return docs.select(
+        "doc_id", *[v.alias(k) for k, v in qs.items()]
+    ).orderBy("doc_id")
+
+
+@register(
+    "bpe_token_stats",
+    f"""
+    SELECT doc_id, {_tq.duck_bpe_token_count('text')} AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style counting: BPE-ish pre-token regex vs whitespace."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _tq.bpe_token_count("text").alias("n_bpe_tokens"),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           list_min(list_transform({_dd.SHINGLES_DUCK}, s -> md5(s))) AS min_shingle_md5,
+           {_tq.duck_rolling_fingerprint('text')} AS rolling_fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three content fingerprints per doc: exact (md5), locality-sensitive
+    (min shingle md5 — MinHash with the identity permutation), and
+    order-sensitive (Karp-Rabin rolling hash over the word sequence)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.array_min(F.transform(_dd.shingles_col(), lambda s: F.md5(s))).alias(
+            "min_shingle_md5"
+        ),
+        _tq.rolling_fingerprint("text").alias("rolling_fp"),
+    ).orderBy("doc_id")

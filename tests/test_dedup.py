@@ -1,0 +1,83 @@
+"""Dedup tier semantics: MinHash-LSH recall vs the exact baseline, SimHash
+Hamming bounds, LSH ANN finding planted duplicates, lang-ID on real scripts."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ai_service_ocr_grading_handler_spark.operators import dedup, similarity, textquality
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_lsh_equals_exact_jaccard(spark):
+    """On the planted corpus (exact + drop-last-word copies), LSH recall is
+    1.0, so candidates ⊇ true pairs and exact verification makes the output
+    EQUAL to the all-pairs n-gram Jaccard result."""
+    dup = dedup.dup_corpus(spark, SF)
+    exact = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in dedup.jaccard_pairs(dup).collect()
+    }
+    lsh = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in dedup.minhash_lsh_neardups(dup).collect()
+    }
+    assert len(exact) > 0
+    assert lsh == exact
+
+
+def test_simhash_exact_copy_identical_near_copy_close(spark):
+    dup = dedup.dup_corpus(spark, SF).withColumn(
+        "word_hashes", dedup.word_hashes_col("text")
+    )
+    sh = {
+        r.doc_id: r.simhash
+        for r in dup.select(
+            "doc_id", dedup.simhash_col("word_hashes").alias("simhash")
+        ).collect()
+    }
+    base_ids = [i for i in sh if i < 1000000 and i % 5 == 0]
+    assert base_ids
+    for i in base_ids:
+        assert sh[i + 1000000] == sh[i]  # exact copy -> identical signature
+        ham = bin(sh[i] ^ sh[i + 2000000]).count("1")
+        assert ham <= 16, f"doc {i}: near-copy hamming {ham}"
+
+
+def test_lsh_ann_finds_planted_duplicates(spark):
+    out = similarity.lsh_neardups(similarity.neardup_corpus(spark, SF)).collect()
+    found = {(r.a_id, r.b_id) for r in out}
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    planted = {
+        (r.vec_id, r.vec_id + 10000)
+        for r in emb.filter(F.col("vec_id") % 7 == 0).collect()
+    }
+    assert planted <= found  # identical vectors always share every bucket
+    for r in out:
+        if (r.a_id, r.b_id) in planted:
+            assert r.cos == 1.0
+
+
+def test_lang_id_real_scripts(spark):
+    rows = [
+        ("the cat sat on the mat and it was happy for a while", "en"),
+        ("el perro y la casa de un amigo es que en la ciudad", "es"),
+        ("der hund und die katze ist mit den kindern von zu haus", "de"),
+        ("le chat et les chiens est une des raisons que le jour", "fr"),
+        ("これは日本語のテキストです", "cjk"),
+        ("这是中文文本的一个例子", "cjk"),
+        ("zzz qqq xxx www", "und"),
+    ]
+    df = spark.createDataFrame(rows, "text string, expected string")
+    got = df.select("expected", textquality.lang_id("text").alias("got")).collect()
+    for r in got:
+        assert r.got == r.expected, f"expected {r.expected}, got {r.got}"
+
+
+def test_exact_dedup_collapses_planted_copies(spark):
+    out = dedup.exact_dedup(dedup.dup_corpus(spark, SF)).collect()
+    by_canonical = {r.canonical_id: r.n_copies for r in out}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for r in docs.filter(F.col("doc_id") % 5 == 0).select("doc_id").collect():
+        assert by_canonical.get(r.doc_id, 0) >= 2  # original + exact copy
