@@ -1,0 +1,162 @@
+"""Multimodal columns: opaque binary media + typed metadata.
+
+Images/audio/video ride through the pipeline as `binary` columns with typed
+metadata, exactly like `html` does for pages (BASELINE.json input_hint) and
+like the reference's image payloads (b64 bytes fetched per url,
+/root/reference/engine/core/utils.py:164-165, decoded at
+llm_number_prediction.py:39-55). All Spark plumbing here is REAL — schema,
+Arrow batch shape, mapInPandas kernels, header parsing, byte slicing,
+hashing; only the pixel/sample codecs are stubbed (no image/audio libs in
+this runtime): `decode_pixels` raises NotImplementedError unless PIL/cv2 is
+importable, per the build contract.
+
+Container format (deterministic, synthesized from `documents`):
+  magic 'FAKEMM01' | u8 kind | u32 width | u32 height | u32 payload_len |
+  payload bytes (utf-8 of the doc text)
+Big-endian, 21-byte header. The oracle recomputes every extracted field
+from doc_id/text formulas, so the binary round-trip is value-checked.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+MAGIC = b"FAKEMM01"
+_HEADER = ">8sBIII"  # magic, kind, width, height, payload_len
+HEADER_LEN = struct.calcsize(_HEADER)
+KINDS = ["image", "audio", "video"]
+FRAME_BYTES = 64  # "video" frame = 64-byte payload slice
+
+MEDIA_DDL = "doc_id bigint, kind string, media binary"
+META_DDL = (
+    "doc_id bigint, kind string, width int, height int, payload_len int, "
+    "n_bytes int, payload_md5 string"
+)
+FRAME_DDL = "doc_id bigint, frame_idx int, frame_md5 string"
+
+
+def media_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic fake dimensions (SQL-expressible for the oracle)."""
+    return 320 + (doc_id % 5) * 16, 240 + (doc_id % 3) * 16
+
+
+def pack_media(doc_id: int, text: str) -> tuple[str, bytes]:
+    kind_i = doc_id % 3
+    w, h = media_dims(doc_id)
+    payload = text.encode("utf-8")
+    header = struct.pack(_HEADER, MAGIC, kind_i, w, h, len(payload))
+    return KINDS[kind_i], header + payload
+
+
+def unpack_media(blob: bytes) -> tuple[str, int, int, bytes]:
+    magic, kind_i, w, h, plen = struct.unpack_from(_HEADER, blob)
+    if magic != MAGIC:
+        raise ValueError("bad magic")
+    payload = bytes(blob[HEADER_LEN : HEADER_LEN + plen])
+    return KINDS[kind_i], w, h, payload
+
+
+def decode_pixels(payload: bytes):  # pragma: no cover - stub by design
+    """Real image decode — STUB: the runtime ships no codec libraries.
+    The Spark-side plumbing (binary column in, array out) is what the
+    pipeline exercises; swap this body for PIL/cv2 on a real cluster."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "pixel decode requires an image codec library (PIL/cv2), "
+            "not available in this runtime"
+        ) from e
+    raise NotImplementedError("codec wiring intentionally left to deployment")
+
+
+def media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, kind, media binary) via Arrow-batched synthesis."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                k, b = pack_media(int(doc_id), text)
+                kinds.append(k)
+                blobs.append(b)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "kind": kinds, "media": blobs}
+            )
+
+    return docs.mapInPandas(gen, schema=MEDIA_DDL)
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Binary header parse + payload hash — the 'feature extract' kernel
+    position: one Arrow channel, scalars out, blob dropped."""
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, blob in zip(pdf["doc_id"], pdf["kind"], pdf["media"]):
+                k, w, h, payload = unpack_media(blob)
+                assert k == kind
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "kind": k,
+                        "width": w,
+                        "height": h,
+                        "payload_len": len(payload),
+                        "n_bytes": len(blob),
+                        "payload_md5": hashlib.md5(payload).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "kind",
+                    "width",
+                    "height",
+                    "payload_len",
+                    "n_bytes",
+                    "payload_md5",
+                ],
+            )
+
+    return media.mapInPandas(kernel, schema=META_DDL)
+
+
+def sample_frames(media: DataFrame, every_k: int = 3) -> DataFrame:
+    """Frame-sample 'video' payloads: every k-th FRAME_BYTES slice, hashed —
+    the frame-extraction kernel shape (explodes rows inside the batch)."""
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, blob in zip(pdf["doc_id"], pdf["kind"], pdf["media"]):
+                if kind != "video":
+                    continue
+                _, _, _, payload = unpack_media(blob)
+                n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+                for idx in range(0, n_frames, every_k):
+                    frame = payload[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "frame_md5": hashlib.md5(frame).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_md5"])
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        kernel, schema=FRAME_DDL
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ai_service_ocr_grading_handler_spark.corpus import (
     DUCKDB_GOLDEN_TEXT_EXPR,
+    DUCKDB_HOST_EXPR,
     DUCKDB_GRADING_PROMPT,
     DUCKDB_LEVEL_AT_I,
     DUCKDB_MODEL_NAME,
@@ -865,3 +866,72 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _tq.rolling_fingerprint("text").alias("rolling_fp"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns + host-skew audit
+# ---------------------------------------------------------------------------
+
+from ai_service_ocr_grading_handler_spark.operators import multimodal as _mm
+from ai_service_ocr_grading_handler_spark.plans import lineage as _lin
+
+
+@register(
+    "media_metadata",
+    """
+    SELECT doc_id,
+           ['image','audio','video'][(doc_id % 3)::int + 1] AS kind,
+           (320 + (doc_id % 5) * 16)::int AS width,
+           (240 + (doc_id % 3) * 16)::int AS height,
+           length(text)::int AS payload_len,
+           (21 + length(text))::int AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media columns round-tripped through the metadata
+    kernel: pack (synthesis) -> Arrow batch -> header unpack + payload hash.
+    The oracle recomputes every field from doc_id/text formulas, proving the
+    binary container plumbing end-to-end."""
+    media = _mm.media_df(spark, sf_dir)
+    return _mm.media_metadata(media).orderBy("doc_id")
+
+
+@register(
+    "media_frame_sample",
+    """
+    SELECT d.doc_id, (t.i * 3)::int AS frame_idx,
+           md5(substr(text, t.i * 3 * 64 + 1, 64)) AS frame_md5
+    FROM documents d, range(0, 64) t(i)
+    WHERE d.doc_id % 3 = 2
+      AND t.i * 3 < ceil(length(text) / 64.0)
+    ORDER BY d.doc_id, frame_idx
+    """,
+)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: every 3rd 64-byte payload slice, hashed —
+    the frame-extraction kernel shape over binary columns."""
+    media = _mm.media_df(spark, sf_dir)
+    return _mm.sample_frames(media, every_k=3).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "host_skew_topk",
+    f"""
+    SELECT {DUCKDB_HOST_EXPR.format(id='doc_id')} AS host, count(*) AS n_pages
+    FROM documents
+    GROUP BY 1 ORDER BY n_pages DESC, host LIMIT 5
+    """,
+)
+def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k hottest hosts (the salting decision input, SURVEY.md §2.5):
+    host parsed from real urls of the synthesized pages corpus — the planted
+    hot host carries ~30% of pages."""
+    pages = pages_df_from_documents(spark, sf_dir)
+    return (
+        pages.groupBy(_lin.host_col().alias("host"))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .orderBy(F.desc("n_pages"), F.asc("host"))
+        .limit(5)
+    )

@@ -1,0 +1,102 @@
+"""Structured Streaming surface (SURVEY.md §2.9).
+
+The reference's streaming semantics are SQS micro-batches: FIFO groups,
+content-based dedup (`MessageDeduplicationId`,
+/root/reference/engine/gen_utils_files/testCase.txt:355-357), at-least-once
+redelivery, and a downstream update queue (engine/core/utils.py:72,128).
+The Spark-native mapping:
+
+- micro-batch source  -> file-based `readStream` + `Trigger.AvailableNow`
+  (process everything present, then stop — the batch-resume analog of an
+  SQS drain; checkpointed, so re-runs consume only NEW files);
+- content dedup       -> `dropDuplicatesWithinWatermark` on the key;
+- windowed rollups    -> event-time `window()` aggregation with a watermark
+  bounding state (late rows beyond the watermark are dropped);
+- extraction on a stream -> the SAME `extract_pages` kernel: `mapInPandas`
+  is streaming-compatible, so batch and streaming share one code path.
+
+At scale: state size is bounded by (watermark horizon x key cardinality);
+`spark.sql.shuffle.partitions` sizes the state store; AvailableNow gives
+exactly-once file-source semantics via the checkpoint's source log.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ai_service_ocr_grading_handler_spark.operators.extract import extract_pages
+
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour event-time aggregation with bounded state:
+    the streaming twin of the batch `events_hourly_rollup` query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """At-least-once -> effectively-once: drop redelivered event_ids within
+    the watermark horizon (the SQS MessageDeduplicationId analog; state is
+    GC'd past the watermark, so it's bounded at 100 TB/day rates)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, checkpoint_dir: str, out_dir: str, mode: str = "append"
+) -> None:
+    """Drain everything currently available into parquet, exactly once per
+    input file (source progress lives in the checkpoint), then stop."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def extract_pages_stream(
+    spark: SparkSession, input_dir: str, checkpoint_dir: str, out_dir: str
+) -> None:
+    """Streaming extraction: the batch kernel applied to a file stream —
+    new page files appearing in `input_dir` are extracted exactly once."""
+    pages = (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    run_available_now(extract_pages(pages), checkpoint_dir, out_dir)

@@ -1,0 +1,106 @@
+"""Resume / lineage / idempotency semantics (SURVEY.md §5.4, north rule)."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+from ai_service_ocr_grading_handler_spark.corpus import pages_df_from_documents
+from ai_service_ocr_grading_handler_spark.plans import lineage
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pages(spark, tmp_path):
+    """Materialize the pages corpus once so inputFiles() is meaningful."""
+    p = str(tmp_path / "pages.parquet")
+    pages_df_from_documents(spark, SF).write.mode("overwrite").parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_full_run_then_noop_resume(spark, tmp_path):
+    pages = _pages(spark, tmp_path)
+    out = str(tmp_path / "job")
+    n = pages.count()
+
+    m1 = lineage.run_extract(spark, pages, out, "run-001")
+    assert m1["rows_written"] == n
+    assert m1["output_files"] >= 1
+    assert m1["input_files"]
+
+    # identical second run: the anti-join frontier makes it a no-op
+    m2 = lineage.run_extract(spark, pages, out, "run-002")
+    assert m2["rows_written"] == 0
+
+    v = lineage.verify_table(spark, out)
+    assert v["consistent"], v
+    assert v["rows"] == n == v["distinct_urls"]
+
+
+def test_partial_crash_then_resume_equals_single_run(spark, tmp_path):
+    pages = _pages(spark, tmp_path)
+    out_resumed = str(tmp_path / "resumed")
+    out_single = str(tmp_path / "single")
+
+    # "crashed" first run: only a subset of the input was processed before
+    # the failure (Spark's commit protocol never exposes partial task
+    # output, so the committed subset is the exact resume frontier)
+    subset = pages.filter(F.xxhash64("url") % 2 == 0)
+    m1 = lineage.run_extract(spark, subset, out_resumed, "run-001")
+    assert 0 < m1["rows_written"] < pages.count()
+
+    m2 = lineage.run_extract(spark, pages, out_resumed, "run-002")
+    assert m1["rows_written"] + m2["rows_written"] == pages.count()
+
+    lineage.run_extract(spark, pages, out_single, "run-xxx")
+
+    a = lineage.verify_table(spark, out_resumed)
+    b = lineage.verify_table(spark, out_single)
+    assert a["consistent"] and b["consistent"]
+    # byte-identical content: same per-(url,text) hash multiset
+    assert a["rows"] == b["rows"]
+    assert a["checksum"] == b["checksum"]
+
+    manifest = json.loads((tmp_path / "resumed/runs/run-002.json").read_text())
+    assert manifest["rows_written"] == m2["rows_written"]
+
+
+def test_salted_repartition_balances_hot_host(spark, tmp_path):
+    """The corpus plants ~30% of pages on one host; salting must spread it."""
+    pages = _pages(spark, tmp_path)
+    n_parts = 16
+
+    by_host = pages.repartition(n_parts, lineage.host_col())
+    salted = lineage.salted_repartition(pages, n_parts)
+
+    def sizes(df):
+        return [
+            r["count"]
+            for r in df.groupBy(F.spark_partition_id().alias("p")).count().collect()
+        ]
+
+    hot = max(sizes(by_host))
+    balanced = max(sizes(salted))
+    total = pages.count()
+    assert hot >= 0.25 * total  # the skew is real without salting
+    assert balanced <= 0.15 * total  # and gone with it
+
+
+def test_metrics_ledger_has_lineage_columns(spark, tmp_path):
+    pages = _pages(spark, tmp_path)
+    out = str(tmp_path / "job")
+    lineage.run_extract(spark, pages, out, "run-001")
+    met = spark.read.parquet(str(tmp_path / "job/metrics"))
+    cols = set(met.columns)
+    assert {
+        "run_id",
+        "out_file",
+        "row_count",
+        "checksum",
+        "content_chars",
+        "extract_us",
+        "min_warc_ts",
+        "max_warc_ts",
+    } <= cols
+    assert met.filter(F.col("row_count") <= 0).count() == 0

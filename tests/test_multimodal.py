@@ -1,0 +1,53 @@
+"""Multimodal binary plumbing: container round-trip, kernel batch shape,
+codec stub contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from ai_service_ocr_grading_handler_spark.operators import multimodal as mm
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pack_unpack_roundtrip():
+    kind, blob = mm.pack_media(7, "hello world payload")
+    assert kind == "audio"  # 7 % 3 == 1
+    k, w, h, payload = mm.unpack_media(blob)
+    assert (k, w, h) == ("audio", 320 + 2 * 16, 240 + 1 * 16)
+    assert payload == b"hello world payload"
+
+
+def test_decode_pixels_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_pixels(b"\x00" * 16)
+
+
+def test_metadata_kernel_batch_invariant(spark):
+    media = mm.media_df(spark, SF)
+    out = mm.media_metadata(media).orderBy("doc_id").collect()
+    assert len(out) == 500
+    for r in out[:25]:
+        w, h = mm.media_dims(r.doc_id)
+        assert (r.width, r.height) == (w, h)
+        assert r.n_bytes == r.payload_len + mm.HEADER_LEN
+    # repartitioned input -> identical output (pure function of the blob)
+    out2 = mm.media_metadata(media.repartition(7)).orderBy("doc_id").collect()
+    assert out == out2
+
+
+def test_frame_sampling_hashes_payload_slices(spark):
+    media = mm.media_df(spark, SF)
+    frames = mm.sample_frames(media, every_k=3).collect()
+    assert frames
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    for r in frames[:50]:
+        assert r.doc_id % 3 == 2  # only 'video' rows sampled
+        payload = docs[r.doc_id].encode()
+        frame = payload[r.frame_idx * mm.FRAME_BYTES : (r.frame_idx + 1) * mm.FRAME_BYTES]
+        assert r.frame_md5 == hashlib.md5(frame).hexdigest()
