@@ -188,13 +188,17 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_semi / left_anti built-ins (SURVEY.md §2.3 'absent in reference')."""
+    """Semi/anti-join semantics in ONE pass: left join against the distinct
+    key set + conditional aggregation — one lineitem scan and one action
+    instead of two separate semi/anti jobs (the `left_semi`/`left_anti`
+    operators themselves are exercised by minhash_lsh_neardups and the
+    lineage resume anti-join)."""
     part = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
-    used = part.join(li, part.p_partkey == li.l_partkey, "left_semi").count()
-    unused = part.join(li, part.p_partkey == li.l_partkey, "left_anti").count()
-    return spark.createDataFrame(
-        [(used, unused)], "n_parts_used bigint, n_parts_unused bigint"
+    keys = _t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    joined = part.join(keys, part.p_partkey == keys.l_partkey, "left")
+    return joined.agg(
+        F.count(F.col("l_partkey")).alias("n_parts_used"),
+        F.count(F.when(F.col("l_partkey").isNull(), 1)).alias("n_parts_unused"),
     )
 
 

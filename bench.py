@@ -39,6 +39,15 @@ HEADLINE = [
     "events_latest_per_user",
     "doc_token_stats",
     "join_semi_anti",
+    "exact_dedup",
+    "minhash_lsh_neardups",
+    "simhash_signatures",
+    "cosine_topk",
+    "lsh_ann_neardups",
+    "doc_quality",
+    "doc_fingerprints",
+    "ensemble_number_batch",
+    "media_metadata",
 ]
 
 
