@@ -17,6 +17,11 @@ Scale notes:
   the widest column at 100 TB).
 - Output is a pure function of `html` per row: batch-boundary invariance is
   property-tested (tests/test_extract_spark.py).
+- MapInPandas is a PUSHDOWN BARRIER: predicates written after the kernel
+  run after it (verified with .explain — the filter lands above
+  MapInPandas). Apply row filters (lang, warc_ts range, host) to `pages`
+  BEFORE calling extract_pages so they reach the parquet scan as
+  PushedFilters / partition pruning.
 """
 
 from __future__ import annotations

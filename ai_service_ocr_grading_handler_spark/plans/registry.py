@@ -939,3 +939,284 @@ def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pages"), F.asc("host"))
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining reference-operator parity: J1/J5/A4, T7/T8/T11-T13/T17, P10/P11,
+# window frames, set ops, grouping sets (SURVEY.md §2.2-§2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "credit_decrement",
+    """
+    SELECT c.c_custkey AS user_id,
+           round(c.c_acctbal, 2) AS credits_before,
+           count(o.o_orderkey) AS n_requests,
+           round(c.c_acctbal - count(o.o_orderkey) / 10.0, 2) AS credits_after
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_acctbal
+    ORDER BY user_id
+    """,
+)
+def q_credit_decrement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5+A4 user-credit accounting (database_calling.py:23-46,
+    question_generation_handler.py:460-469): keyed lookup + credits -= n/10.
+    The reference's Mongo point-read/upsert becomes a keyed aggregation; the
+    write-back at scale is an Iceberg MERGE INTO keyed on user_id."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.count("o_orderkey").alias("n_requests"))
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.round("c_acctbal", 2).alias("credits_before"),
+            "n_requests",
+            F.round(F.col("c_acctbal") - F.col("n_requests") / 10.0, 2).alias(
+                "credits_after"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+_PROMPT_DIM = [
+    ("grading", "math", "Grade stepwise; award partial marks per rubric."),
+    ("grading", "science", "Check claims against the rubric evidence."),
+    ("grading", "english", "Grade structure, grammar, and argument."),
+    ("question_generation", "math", "Generate numeric problems with worked answers."),
+    ("question_generation", "science", "Generate concept questions with distractors."),
+    ("question_generation", "english", "Generate passage-comprehension questions."),
+]
+_PROMPT_DEFAULT = "You are a helpful grading assistant."
+_SUBJECTS = ["math", "science", "english", "history"]
+
+
+def _prompt_case_duck() -> str:
+    whens = " ".join(
+        f"WHEN task = '{t}' AND subject = '{s}' THEN '{p}'"
+        for t, s, p in _PROMPT_DIM
+    )
+    return f"CASE {whens} ELSE '{_PROMPT_DEFAULT}' END"
+
+
+@register(
+    "prompt_lookup",
+    f"""
+    WITH req AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'grading' ELSE 'question_generation' END) AS task,
+             (['math','science','english','history'][(doc_id % 4)::int + 1]) AS subject
+      FROM documents
+    )
+    SELECT doc_id, task, subject, {_prompt_case_duck()} AS prompt
+    FROM req ORDER BY doc_id
+    """,
+)
+def q_prompt_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 prompt-dimension lookup (utils.py:23-29 over subject_wise_prompt):
+    broadcast left join against the tiny (task, subject) dim + coalesce to
+    the default on miss ('history' has no dim row, exercising the miss
+    path). The reference re-reads this dim from disk per request
+    (gen_ai_calling.py:200-201); here it is read once and broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    dim = spark.createDataFrame(
+        _PROMPT_DIM, "task string, subject string, prompt string"
+    )
+    req = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("grading"))
+        .otherwise(F.lit("question_generation"))
+        .alias("task"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in _SUBJECTS]),
+            (F.col("doc_id") % 4).cast("int") + 1,
+        ).alias("subject"),
+    )
+    return (
+        req.join(F.broadcast(dim), ["task", "subject"], "left")
+        .select(
+            "doc_id",
+            "task",
+            "subject",
+            F.coalesce("prompt", F.lit(_PROMPT_DEFAULT)).alias("prompt"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "prompt_assembly",
+    """
+    WITH req AS (
+      SELECT doc_id,
+             'Grade ' || ((doc_id % 12) + 1) AS grade_level,
+             ((doc_id % 4) + 1)::int AS marks,
+             (['math','science','english','history'][(doc_id % 4)::int + 1]) AS subject,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'Solve `x+' || (doc_id % 9) || '` now'
+                  ELSE 'Explain topic ' || (doc_id % 9) END AS question
+      FROM documents
+    ), g AS (
+      SELECT *, regexp_extract(grade_level, '[0-9]+')::int AS grade_num FROM req
+    )
+    SELECT doc_id,
+           grade_num,
+           (grade_num + 5) || '-' || (grade_num + 8) AS age_range,
+           (CASE marks WHEN 1 THEN 2 WHEN 2 THEN 5 WHEN 3 THEN 7 ELSE 10 END)::int AS n_lines,
+           CASE WHEN subject IN ('math','science') AND contains(question, chr(96))
+                THEN 'asciiMath' ELSE 'text' END AS markup,
+           CASE WHEN subject IN ('math','science') THEN question
+                ELSE replace(question, chr(96), chr(39)) END AS question_clean,
+           'You are grading a ' || subject || ' question for grade ' || grade_num
+             || ' (ages ' || (grade_num + 5) || '-' || (grade_num + 8)
+             || '). Answer in '
+             || (CASE marks WHEN 1 THEN 2 WHEN 2 THEN 5 WHEN 3 THEN 7 ELSE 10 END)
+             || ' lines. Use \\n between lines.' AS system_prompt
+    FROM g ORDER BY doc_id
+    """,
+)
+def q_prompt_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prompt-assembly scalar chain: grade-number extract T11
+    (question_generation_handler.py:24-42), age range T12 (:44-57),
+    marks->lines bucketing T13 (:326-338), markup predicate P11 (:391-398),
+    backtick strip T8 (:397), backslash normalize T7 (gen_ai_calling.py:203)
+    and f-string template fill T17 — one native projection, zero Python."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    grade_level = F.concat(F.lit("Grade "), ((d % 12) + 1).cast("string"))
+    marks = ((d % 4) + 1).cast("int")
+    subject = F.element_at(
+        F.array(*[F.lit(s) for s in _SUBJECTS]), (d % 4).cast("int") + 1
+    )
+    question = F.when(
+        d % 3 == 0,
+        F.concat(F.lit("Solve `x+"), (d % 9).cast("string"), F.lit("` now")),
+    ).otherwise(F.concat(F.lit("Explain topic "), (d % 9).cast("string")))
+    grade_num = F.regexp_extract(grade_level, r"\d+", 0).cast("int")
+    age_range = F.concat(
+        (grade_num + 5).cast("string"), F.lit("-"), (grade_num + 8).cast("string")
+    )
+    n_lines = (
+        F.when(marks == 1, 2).when(marks == 2, 5).when(marks == 3, 7).otherwise(10)
+    ).cast("int")
+    is_stem = subject.isin("math", "science")
+    markup = F.when(
+        is_stem & question.contains("`"), F.lit("asciiMath")
+    ).otherwise(F.lit("text"))
+    question_clean = F.when(is_stem, question).otherwise(
+        F.translate(question, "`", "'")
+    )
+    # T7: the template arrives with escaped backslashes; normalize \\n -> \n
+    raw_template = (
+        "You are grading a %s question for grade %s (ages %s)."
+        " Answer in %s lines. Use \\\\n between lines."
+    )
+    system_prompt = F.regexp_replace(
+        F.format_string(
+            raw_template,
+            subject,
+            grade_num.cast("string"),
+            age_range,
+            n_lines.cast("string"),
+        ),
+        r"\\\\",
+        r"\\",
+    )
+    return docs.select(
+        "doc_id",
+        grade_num.alias("grade_num"),
+        age_range.alias("age_range"),
+        n_lines.alias("n_lines"),
+        markup.alias("markup"),
+        question_clean.alias("question_clean"),
+        system_prompt.alias("system_prompt"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "events_lag_frames",
+    """
+    SELECT event_id, user_id,
+           round(lag(value) OVER w, 2) AS prev_value,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+           rank() OVER w AS rk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, rk
+    """,
+)
+def q_events_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows (§2.5): lag, rank, and an explicit running-sum frame
+    (rowsBetween) per user ordered by event time."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(F.sum("value").over(wsum), 2).alias("running_value"),
+        F.rank().over(w).alias("rk"),
+    ).orderBy("user_id", "rk")
+
+
+@register(
+    "set_ops_audit",
+    """
+    SELECT
+      (SELECT count(*) FROM (
+         SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+         UNION SELECT doc_id FROM documents WHERE doc_id % 3 = 0)) AS n_union,
+      (SELECT count(*) FROM (
+         SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+         INTERSECT SELECT doc_id FROM documents WHERE doc_id % 3 = 0)) AS n_intersect,
+      (SELECT count(*) FROM (
+         SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+         EXCEPT SELECT doc_id FROM documents WHERE doc_id % 3 = 0)) AS n_except
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (§2.6): union/intersect/except between two keyed
+    subsets — resume logic's algebra (the pipeline itself uses the
+    anti-join form in plans/lineage.py)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    n_union = a.union(b).distinct().count()
+    n_intersect = a.intersect(b).count()
+    n_except = a.exceptAll(b).count()
+    return spark.createDataFrame(
+        [(n_union, n_intersect, n_except)],
+        "n_union bigint, n_intersect bigint, n_except bigint",
+    )
+
+
+@register(
+    "events_rollup",
+    """
+    SELECT date_trunc('day', ts) AS day_ts, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(date_trunc('day', ts), event_type)
+    ORDER BY day_ts NULLS FIRST, event_type NULLS FIRST
+    """,
+)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (§2.4 built-ins): per (day, type), per day, and
+    grand total in one pass (partial aggregation handles all levels in a
+    single shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup(F.date_trunc("day", "ts").alias("day_ts"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy(F.asc_nulls_first("day_ts"), F.asc_nulls_first("event_type"))
+    )

@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -29,6 +30,7 @@ REPO = Path(__file__).resolve().parent
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "10"))
+SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "100"))
 CACHE_ROOT = Path(os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench"))
 
 HEADLINE = [
@@ -156,8 +158,19 @@ def worker_main(args) -> None:
 
 
 def scaling_main(args) -> None:
-    """North-rule scaling evidence: same job, local[8] vs local[32]."""
+    """North-rule scaling evidence: same job, local[8] vs local[32].
+
+    The corpus is replicated until the kernel dominates wall-clock (a 3 s
+    job measures JVM/task overhead, not scaling) and pre-generated ONCE at
+    full parallelism before either measured worker starts."""
+    from ai_service_ocr_grading_handler_spark.session import get_spark
+
+    gen = get_spark(app_name="bench-corpus-gen", cpus=os.cpu_count() or CPUS)
+    ensure_pages(gen, args.sf_dir, args.replicate)
+    gen.stop()
+
     results = {}
+    taskset = shutil.which("taskset")
     for cpus in (args.n_small, args.n_big):
         cmd = [
             sys.executable,
@@ -170,6 +183,13 @@ def scaling_main(args) -> None:
             "--replicate",
             str(args.replicate),
         ]
+        if taskset:
+            # `local[N]` bounds TASK SLOTS, not CPU: every mapInPandas task
+            # is a JVM thread + a forked Python worker, so an unpinned
+            # local[8] run burns ~16 cores and fakes the small-N baseline.
+            # Pinning the process tree to N cores emulates what an N-core
+            # executor actually gets on a real cluster.
+            cmd = [taskset, "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
@@ -190,12 +210,14 @@ def scaling_main(args) -> None:
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     md = bench_dir / "BASELINE.md"
+    pin = " CPU-pinned via taskset (local[N] bounds task slots, not cores —" \
+          " pinning emulates a real N-core executor)," if taskset else ""
     with md.open("a") as f:
         f.write(
             f"\n## Scaling run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
             f"Same extraction job (scan -> Arrow kernel -> aggregate), same input"
             f" ({big['docs']} docs from {args.sf_dir}, replicate ×{args.replicate}),"
-            f" fresh JVM per run, warm-up pass excluded.\n\n"
+            f" fresh JVM per run,{pin} warm-up pass excluded.\n\n"
             f"| parallelism | wall sec | docs/sec |\n|---|---|---|\n"
             f"| local[{args.n_small}] | {small['sec']:.2f} | {thr_small:.1f} |\n"
             f"| local[{args.n_big}] | {big['sec']:.2f} | {thr_big:.1f} |\n\n"
@@ -211,17 +233,26 @@ def main() -> None:
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--sf-dir", default=SF_DIR)
-    ap.add_argument("--replicate", type=int, default=REPLICATE)
+    ap.add_argument(
+        "--replicate",
+        type=int,
+        default=None,
+        help="pages-corpus replication; defaults to REPLICATE (headline) or "
+        "SCALING_REPLICATE (--scaling, sized so the kernel dominates)",
+    )
     ap.add_argument("--n-small", type=int, default=8)
     ap.add_argument("--n-big", type=int, default=32)
     args = ap.parse_args()
 
     if args.worker:
+        args.replicate = args.replicate or REPLICATE
         worker_main(args)
         return
     if args.scaling:
+        args.replicate = args.replicate or SCALING_REPLICATE
         scaling_main(args)
         return
+    args.replicate = args.replicate or REPLICATE
 
     from ai_service_ocr_grading_handler_spark.session import get_spark
 
