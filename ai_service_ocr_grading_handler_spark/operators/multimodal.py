@@ -79,7 +79,14 @@ def media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, kind, media binary) via Arrow-batched synthesis."""
     import pandas as pd
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # documents ships as one small parquet file -> one input split; spread
+    # synthesis + the downstream kernels across the executors (real media
+    # tables arrive pre-split, this mirrors their layout)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

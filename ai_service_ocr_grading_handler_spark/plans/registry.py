@@ -1220,3 +1220,170 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc_nulls_first("day_ts"), F.asc_nulls_first("event_type"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Ingest normalization (P1-P5/S3), essay fan-out (K11/T14), question reshape
+# (P10/T16) — the remaining §2 rows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ingest_normalize",
+    f"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'S' || doc_id ELSE NULL END AS "studentId",
+             CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 's_' || doc_id END AS student_id,
+             CASE WHEN doc_id % 4 = 1 THEN '' ELSE text END AS answer,
+             {DUCKDB_URL_EXPR.format(id='doc_id', src='source')} AS answer_url,
+             CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 0.5 * (1 + doc_id % 8) END AS max_score_raw,
+             (['1','true','T','no','0','false'][(doc_id % 6)::int + 1]) AS flag_str
+      FROM documents
+    )
+    SELECT doc_id,
+           coalesce("studentId", student_id, '') AS student_key,
+           CASE WHEN length(answer) = 0 THEN answer_url ELSE answer END AS answer_resolved,
+           coalesce(max_score_raw, 1.0) AS max_score,
+           flag_str IN ('1','true','True','t','T') AS flag_bool
+    FROM raw ORDER BY doc_id
+    """,
+)
+def q_ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest normalization applied ONCE at the boundary (SURVEY.md §1.2):
+    P2 key-coalesce across spelling variants (utils.py:80-84), P3 empty-
+    answer -> url fallback (gen_ai_calling.py:174-182), P1 default-on-null
+    projection (gen_ai_calling.py:169-183), P5 truthy-string predicate
+    (service_handler.py:155-163)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    camel = F.when(d % 2 == 0, F.concat(F.lit("S"), d.cast("string")))
+    snake = F.when(d % 2 != 0, F.concat(F.lit("s_"), d.cast("string")))
+    answer = F.when(d % 4 == 1, F.lit("")).otherwise(F.col("text"))
+    answer_url = F.concat(
+        F.lit("https://host"),
+        F.when(d % 10 < 3, F.lit(0)).otherwise(d % 50).cast("string"),
+        F.lit(".example.com/"),
+        F.col("source"),
+        F.lit("/"),
+        d.cast("string"),
+    )
+    max_raw = F.when(d % 7 != 0, 0.5 * (1 + d % 8))
+    flag = F.element_at(
+        F.array(*[F.lit(x) for x in ["1", "true", "T", "no", "0", "false"]]),
+        (d % 6).cast("int") + 1,
+    )
+    return docs.select(
+        "doc_id",
+        F.coalesce(camel, snake, F.lit("")).alias("student_key"),
+        F.when(F.length(answer) == 0, answer_url).otherwise(answer).alias(
+            "answer_resolved"
+        ),
+        F.coalesce(max_raw, F.lit(1.0)).alias("max_score"),
+        flag.isin("1", "true", "True", "t", "T").alias("flag_bool"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "essay_fanout_concat",
+    """
+    SELECT d.doc_id,
+           string_agg('FP' || t.i || ' - improve part ' || t.i, chr(10) || chr(10)
+                      ORDER BY t.i) AS feedback,
+           round(sum(CASE
+             WHEN (['Effective','Good','Satisfactory','Normal','Fair','Poor']
+                   [((d.doc_id * 3 + t.i) % 6)::int + 1])
+                  IN ('Effective','Good','Satisfactory') THEN 1.0
+             WHEN (['Effective','Good','Satisfactory','Normal','Fair','Poor']
+                   [((d.doc_id * 3 + t.i) % 6)::int + 1])
+                  IN ('Normal','Fair') THEN 0.5
+             ELSE 0.0 END), 1) AS confidence,
+           15.0 AS max_score
+    FROM documents d, range(0, 3) t(i)
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def q_essay_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K11 3-call essay fan-out + T14 concat (gen_ai_calling.py:394-415):
+    three kernel column applications over the SAME row, concatenated, then
+    span-parsed (T3) with the fixed maxScore 15 — three projections fused
+    into one codegen stage, one Arrow hop for the parse."""
+    docs = _t(spark, sf_dir, "documents")
+    lv = (
+        "element_at(array('Effective','Good','Satisfactory','Normal','Fair','Poor'),"
+        " cast(pmod(doc_id * 3 + {i}, 6) as int) + 1)"
+    )
+    call = (
+        "concat('{{\"FeedbackPointName\": \"FP{i}\", \"levelName\": \"', "
+        + lv
+        + ", '\", \"improvement\": \"improve part {i}\"}}')"
+    )
+    calls = [F.expr(call.format(i=i)) for i in range(3)]
+    combined = F.concat_ws("\n", *calls)
+    parsed = spans.parse_essay_feedback(combined)
+    return docs.select(
+        "doc_id",
+        parsed.getField("feedback").alias("feedback"),
+        F.round(parsed.getField("confidence"), 1).alias("confidence"),
+        F.lit(15.0).alias("max_score"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "question_format",
+    """
+    WITH q AS (
+      SELECT doc_id,
+             (['Multiple Choice','multiple choice','MCQ','mcq','short answer','essay']
+              [(doc_id % 6)::int + 1]) AS qtype_raw,
+             ((doc_id % 4) + 1)::int AS correct_idx
+      FROM documents
+    )
+    SELECT doc_id,
+           substr(sha256('q' || doc_id), 1, 12) AS question_id,
+           lower(qtype_raw) IN ('multiple choice', 'mcq') AS is_mcq,
+           CASE WHEN lower(qtype_raw) IN ('multiple choice', 'mcq')
+                THEN 'opt' || correct_idx ELSE NULL END AS answer_key,
+           substr(sha256('q' || doc_id || '-r'), 1, 12) AS rubric_id
+    FROM q ORDER BY doc_id
+    """,
+)
+def q_question_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convert_question_format reshape (question_generation_handler.py:
+    340-453): MCQ-type normalize P10 (6 spellings -> one branch, :381-385),
+    option-index resolution (:402-421), and T16 ids — nanoid.generate()
+    replaced by CONTENT-DERIVED sha2 ids so resume/retry re-emits identical
+    rows (SURVEY.md §7 hard-point (c))."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    qtype = F.element_at(
+        F.array(
+            *[
+                F.lit(x)
+                for x in [
+                    "Multiple Choice",
+                    "multiple choice",
+                    "MCQ",
+                    "mcq",
+                    "short answer",
+                    "essay",
+                ]
+            ]
+        ),
+        (d % 6).cast("int") + 1,
+    )
+    is_mcq = F.lower(qtype).isin("multiple choice", "mcq")
+    correct = ((d % 4) + 1).cast("int")
+    return docs.select(
+        "doc_id",
+        F.substring(F.sha2(F.concat(F.lit("q"), d.cast("string")), 256), 1, 12).alias(
+            "question_id"
+        ),
+        is_mcq.alias("is_mcq"),
+        F.when(is_mcq, F.concat(F.lit("opt"), correct.cast("string"))).alias(
+            "answer_key"
+        ),
+        F.substring(
+            F.sha2(F.concat(F.lit("q"), d.cast("string"), F.lit("-r")), 256), 1, 12
+        ).alias("rubric_id"),
+    ).orderBy("doc_id")

@@ -240,8 +240,13 @@ def main() -> None:
         help="pages-corpus replication; defaults to REPLICATE (headline) or "
         "SCALING_REPLICATE (--scaling, sized so the kernel dominates)",
     )
-    ap.add_argument("--n-small", type=int, default=8)
-    ap.add_argument("--n-big", type=int, default=32)
+    # default N -> 4N pair is 4 -> 16: this sandbox VM advertises 32 CPUs but
+    # cannot reliably deliver more than ~16 concurrent cores (8 -> 32 runs
+    # show 2-3x run-to-run swings at local[32] with flat per-core throughput
+    # up to 16; see BENCH/BASELINE.md). 4 -> 16 keeps both measurements
+    # inside the honest capacity while preserving the required 4x factor.
+    ap.add_argument("--n-small", type=int, default=4)
+    ap.add_argument("--n-big", type=int, default=16)
     args = ap.parse_args()
 
     if args.worker:
