@@ -1387,3 +1387,180 @@ def q_question_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sha2(F.concat(F.lit("q"), d.cast("string"), F.lit("-r")), 256), 1, 12
         ).alias("rubric_id"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# OLAP pattern coverage: sessionization, as-of join, pivot, percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id::bigint AS session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           round(sum(value), 2) AS session_value
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag + cumulative-sum session
+    ids, then per-session aggregates — one shuffle on user_id reused by the
+    window AND the group-by (same partitioning, no second exchange)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    s = ev.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(wsum)
+    )
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "asof_latest_value",
+    """
+    WITH marks AS (
+      SELECT event_id AS mark_id, user_id, ts AS mark_ts
+      FROM events WHERE event_id % 100 = 0
+    ), ticks AS (
+      SELECT user_id, ts, value FROM events WHERE event_id % 100 <> 0
+    )
+    SELECT m.mark_id, m.user_id,
+           round(t.value, 2) AS asof_value,
+           t.ts AS asof_ts
+    FROM marks m ASOF LEFT JOIN ticks t
+      ON m.user_id = t.user_id AND t.ts <= m.mark_ts
+    ORDER BY mark_id
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one; DuckDB's ASOF JOIN is the
+    oracle): composed as union(marks, ticks) + last_value(IGNORE NULLS)
+    over (user, time) — one shuffle on user_id, no range explosion.
+    Ties on ts resolve tick-before-mark via the is_mark sort key."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    marks = ev.filter(F.col("event_id") % 100 == 0).select(
+        F.col("event_id").alias("mark_id"),
+        "user_id",
+        F.col("ts"),
+        F.lit(None).cast("double").alias("tick_value"),
+        F.lit(None).cast("timestamp").alias("tick_ts"),
+        F.lit(1).alias("is_mark"),
+    )
+    ticks = ev.filter(F.col("event_id") % 100 != 0).select(
+        F.lit(None).cast("bigint").alias("mark_id"),
+        "user_id",
+        F.col("ts"),
+        F.col("value").alias("tick_value"),
+        F.col("ts").alias("tick_ts"),
+        F.lit(0).alias("is_mark"),
+    )
+    merged = ticks.unionAll(marks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_mark")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.withColumn(
+        "asof_value", F.last("tick_value", ignorenulls=True).over(w)
+    ).withColumn("asof_ts", F.last("tick_ts", ignorenulls=True).over(w))
+    return (
+        filled.filter(F.col("is_mark") == 1)
+        .select(
+            "mark_id",
+            "user_id",
+            F.round("asof_value", 2).alias("asof_value"),
+            "asof_ts",
+        )
+        .orderBy("mark_id")
+    )
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT date_trunc('day', ts) AS day_ts,
+           count(*) FILTER (event_type = 'click') AS n_click,
+           count(*) FILTER (event_type = 'view') AS n_view,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type NOT IN ('click','view','purchase')) AS n_other
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event_type -> columns with an explicit value list (explicit
+    lists skip the extra distinct-discovery job) + an 'other' bucket."""
+    ev = _t(spark, sf_dir, "events")
+    known = ["click", "view", "purchase"]
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day_ts"))
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == k, 1)).alias(f"n_{k}")
+                for k in known
+            ],
+            F.count(F.when(~F.col("event_type").isin(known), 1)).alias("n_other"),
+        )
+        .orderBy("day_ts")
+    )
+
+
+@register(
+    "events_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`). At 100 TB swap in percentile_approx /
+    approx_count_distinct — same plan shape, sketch-mergeable partials."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.5), 4).alias("p50"),
+            F.round(F.percentile("value", 0.9), 4).alias("p90"),
+            F.round(F.percentile("value", 0.99), 4).alias("p99"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
