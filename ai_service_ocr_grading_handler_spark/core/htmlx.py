@@ -78,7 +78,7 @@ def normalize_ws(s: str) -> str:
     return _WS_RE.sub(" ", s).strip()
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """One segmented text block with its classification features."""
 
@@ -115,11 +115,14 @@ def _finish_block(
 ) -> Block | None:
     """Build a Block from accumulated (text, is_anchor, start, end) runs."""
     raw = "".join(r[0] for r in runs)
-    text = normalize_ws(_html.unescape(raw))
+    # entity unescape only when an entity can exist (hot path: plain text)
+    text = normalize_ws(_html.unescape(raw) if "&" in raw else raw)
     if not text:
         return None
     anchor_raw = "".join(r[0] for r in runs if r[1])
-    anchor_len = len(normalize_ws(_html.unescape(anchor_raw)))
+    anchor_len = len(
+        normalize_ws(_html.unescape(anchor_raw) if "&" in anchor_raw else anchor_raw)
+    )
     n_chars = len(text)
     n_words = text.count(" ") + 1
     # Boilerpipe-style wrapped-line text density (80-char lines).
@@ -171,13 +174,11 @@ def segment_blocks(html_text: str) -> list[Block]:
         n_tags = 0
 
     for m in _TAG_RE.finditer(html_text):
-        if m.start() > pos:
-            if rawtext_until is None:
-                seg = html_text[pos : m.start()]
-                if seg:
-                    runs.append((seg, in_anchor > 0, pos, m.start()))
+        mstart = m.start()
+        if mstart > pos and rawtext_until is None:
+            runs.append((html_text[pos:mstart], in_anchor > 0, pos, mstart))
         pos = m.end()
-        closing, name, _attrs, _selfclose = m.group(1), m.group(2), m.group(3), m.group(4)
+        closing, name, _attrs, _selfclose = m.groups()
         if name is None:
             continue  # comment/doctype/PI
         name = name.lower()
