@@ -1564,3 +1564,33 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "simhash_neardup_pairs",
+    f"""
+    WITH dup AS ({_dd.DUP_CORPUS_DUCK}),
+    h AS (SELECT doc_id, {_dd.WORD_HASHES_DUCK.format(col='text')} AS wh FROM dup),
+    sig AS (SELECT doc_id, {_SIMHASH_DUCK} AS simhash FROM h),
+    bands AS (
+      SELECT doc_id, simhash, t.i AS band_idx,
+             (simhash >> (t.i * 15)) % 32768 AS band_key
+      FROM sig, range(0, 4) t(i)
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    ORDER BY a_id, b_id
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4x15-bit band-bucket join (pigeonhole:
+    complete for Hamming < 4) + exact bit_count(xor) verification <= 8.
+    Planted exact copies land at Hamming 0; drop-last-word copies within a
+    few bits."""
+    return _dd.simhash_neardup_pairs(_dd.dup_corpus(spark, sf_dir)).orderBy(
+        "a_id", "b_id"
+    )

@@ -100,3 +100,53 @@ def extract_pages_stream(
         .parquet(input_dir)
     )
     run_available_now(extract_pages(pages), checkpoint_dir, out_dir)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    (total_value, n_events) maintained in the state store across
+    micro-batches AND across availableNow restarts (state lives in the
+    checkpoint). This is the §2.10 'custom stateful streaming operator'
+    slot — the reference's per-student running credit/score accumulation
+    generalized to streams. State is one tiny tuple per key, so state-store
+    size is O(users), not O(events)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key, pdfs, state: GroupState):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += int(len(pdf))
+        state.update((total, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_value": [round(total, 2)], "n_events": [n]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id bigint, total_value double, n_events bigint",
+        stateStructType="total_value double, n_events bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_foreach_batch(stream_df: DataFrame, checkpoint_dir: str, out_dir: str) -> None:
+    """AvailableNow drain through foreachBatch: epoch-stamped parquet
+    appends (the exactly-once sink escape hatch for update-mode output)."""
+    import pyspark.sql.functions as SF
+
+    def sink(batch_df, epoch_id: int) -> None:
+        batch_df.withColumn("epoch", SF.lit(epoch_id)).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

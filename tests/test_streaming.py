@@ -86,3 +86,39 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == ev.count()
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_stateful_running_totals_survive_restart(spark, tmp_path):
+    """applyInPandasWithState: per-user totals accumulate across
+    micro-batches and across a checkpointed availableNow restart."""
+    import pyspark.sql.functions as F2
+
+    src = str(tmp_path / "events_in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    first = ev.filter(F2.pmod(F2.xxhash64("event_id"), F2.lit(2)) == 0)
+    second = ev.filter(F2.pmod(F2.xxhash64("event_id"), F2.lit(2)) == 1)
+
+    first.coalesce(2).write.mode("append").parquet(src)
+    stream = jobs.running_user_totals(jobs.read_event_stream(spark, src))
+    jobs.run_foreach_batch(stream, ckpt, out)
+
+    second.coalesce(2).write.mode("append").parquet(src)
+    stream = jobs.running_user_totals(jobs.read_event_stream(spark, src))
+    jobs.run_foreach_batch(stream, ckpt, out)
+
+    # last emitted row per user == full batch aggregate over ALL events
+    res = spark.read.parquet(out)
+    w_last = res.groupBy("user_id").agg(
+        F2.max_by("total_value", "epoch").alias("total_value"),
+        F2.max_by("n_events", "epoch").alias("n_events"),
+    )
+    got = {r.user_id: (r.total_value, r.n_events) for r in w_last.collect()}
+    want = {
+        r.user_id: (round(r.tv, 2), r.n)
+        for r in ev.groupBy("user_id")
+        .agg(F2.sum("value").alias("tv"), F2.count(F2.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
