@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two tiers:
+Three tiers:
 
 - **Brute-force cosine top-k** — the correctness baseline: a broadcast
   cross-join of a small query set against the corpus, dot products as native
@@ -13,6 +13,9 @@ Two tiers:
   verifies ONLY candidates. Hyperplanes are a fixed ±1 pattern derived from
   (plane, dim) arithmetic so both Spark and the DuckDB oracle compute the
   identical signature — and re-runs are deterministic (resume-safe).
+- **IVF multi-probe** — coarse quantizer cells as the bucketing/partition
+  key; queries probe NPROBE inverted lists and search only those (see the
+  IVF section below).
 
 All arithmetic is done in float64 in INDEX ORDER on both sides (Spark
 `aggregate` folds left-to-right; DuckDB `list_sum` over `list_transform`),
@@ -156,4 +159,106 @@ def lsh_neardups(df: DataFrame, threshold: float = 0.9) -> DataFrame:
             F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
+    )
+
+
+# --- IVF (inverted-file) ANN -----------------------------------------------------
+# Coarse quantizer: K deterministic pseudo-random centroids; cell = argmax
+# dot(emb, centroid). Queries probe the NPROBE best cells and search only
+# those inverted lists — at 100 TB the corpus is bucketed/partitioned by
+# `cell`, so a probe is a partition-pruned scan, never a full pass.
+
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+# centroid value for (cell c, dim d) in [-1, 1] — same arithmetic in Spark
+# SQL and DuckDB (all args non-negative, so % == pmod):
+_CENTROID_SPARK = "((pmod({c}*31 + d*17 + pmod({c}*d, 13), 7) - 3) / 3.0)"
+_CENTROID_DUCK = "(((({c}*31 + d*17 + ({c}*d) % 13) % 7) - 3) / 3.0)"
+
+
+def ivf_dots_col(emb_col: str = "embedding") -> Column:
+    """Array of K centroid dot products (native folds)."""
+    dots = [
+        (
+            "aggregate(zip_with({e}, sequence(0, size({e}) - 1),"
+            " (x, d) -> cast(x as double) * {cv}), 0.0D, (acc, v) -> acc + v)"
+        ).format(e=emb_col, cv=_CENTROID_SPARK.format(c=c))
+        for c in range(IVF_CELLS)
+    ]
+    return F.expr("array(" + ", ".join(dots) + ")")
+
+
+def ivf_dots_duck(emb_expr: str, dim: int = EMB_DIM) -> str:
+    dots = [
+        (
+            "list_sum(list_transform(range(0, {dim}),"
+            " d -> ({e})[d + 1]::double * {cv}))"
+        ).format(e=emb_expr, cv=_CENTROID_DUCK.format(c=c), dim=dim)
+        for c in range(IVF_CELLS)
+    ]
+    return "[" + ", ".join(dots) + "]"
+
+
+def ivf_cell_col(dots_col: str = "dots") -> Column:
+    """Assigned cell = 1-based argmax of the dot array (first max on ties)."""
+    return F.expr(f"array_position({dots_col}, array_max({dots_col}))").cast("int")
+
+
+def ivf_probes_col(dots_col: str = "dots", nprobe: int = IVF_NPROBE) -> Column:
+    """Cells to probe: every index whose dot >= the nprobe-th largest
+    (ties may widen the probe set — identical semantics in the oracle)."""
+    kth = IVF_CELLS - nprobe + 1
+    return F.expr(
+        f"filter(sequence(1, {IVF_CELLS}),"
+        f" i -> element_at({dots_col}, i) >= element_at(array_sort({dots_col}), {kth}))"
+    )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    n_queries: int = 10,
+) -> DataFrame:
+    """IVF ANN: assign cells (one pass, behind a repartition boundary so the
+    K-dot array is computed once), probe NPROBE cells per query, exact
+    cosine top-k within the probed lists only."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = (
+        emb.select("vec_id", "embedding", ivf_dots_col().alias("dots"))
+        .repartition(F.col("vec_id"))
+        .select(
+            F.col("vec_id").alias("n_id"),
+            F.col("embedding").alias("n_emb"),
+            ivf_cell_col().alias("cell"),
+        )
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding", ivf_dots_col().alias("dots"))
+        .repartition(F.col("vec_id"))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            ivf_probes_col().alias("probes"),
+        )
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            F.expr("array_contains(probes, cell)") & (F.col("n_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            "n_id",
+            "cell",
+            F.round(cosine(F.col("q_emb"), F.col("n_emb")), 4).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "n_id", "cell", "cos")
     )

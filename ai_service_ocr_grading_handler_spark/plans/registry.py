@@ -1594,3 +1594,41 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.simhash_neardup_pairs(_dd.dup_corpus(spark, sf_dir)).orderBy(
         "a_id", "b_id"
     )
+
+
+_IVF_DOTS_Q = _sim.ivf_dots_duck("q.embedding")
+_IVF_DOTS_C = _sim.ivf_dots_duck("c.embedding")
+
+
+@register(
+    "ivf_ann_topk",
+    f"""
+    WITH cells AS (
+      SELECT vec_id AS n_id, embedding AS n_emb,
+             list_position(d.dots, list_max(d.dots))::int AS cell
+      FROM (SELECT vec_id, embedding, {_sim.ivf_dots_duck('embedding')} AS dots
+            FROM embeddings) d(vec_id, embedding, dots)
+    ), qs AS (
+      SELECT vec_id AS q_id, embedding AS q_emb,
+             list_filter(range(1, {_sim.IVF_CELLS} + 1),
+                         i -> d.dots[i] >= list_sort(d.dots)[{_sim.IVF_CELLS - _sim.IVF_NPROBE + 1}]) AS probes
+      FROM (SELECT vec_id, embedding, {_sim.ivf_dots_duck('embedding')} AS dots
+            FROM embeddings WHERE vec_id < 10) d(vec_id, embedding, dots)
+    ), scored AS (
+      SELECT q.q_id, c.n_id, c.cell,
+             round({_sim.duck_cosine('q.q_emb', 'c.n_emb')}, 4) AS cos
+      FROM qs q JOIN cells c
+        ON list_contains(q.probes, c.cell) AND c.n_id <> q.q_id
+    )
+    SELECT q_id, rank, n_id, cell, cos FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3 ORDER BY q_id, rank
+    """,
+)
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the second similarity scale path next to sign-LSH):
+    deterministic coarse quantizer -> cell-bucketed corpus -> multi-probe
+    exact search within NPROBE inverted lists. At 100 TB `cell` is the
+    bucketing/partition key, so each probe is a pruned scan."""
+    return _sim.ivf_topk(spark, sf_dir, k=3, n_queries=10).orderBy("q_id", "rank")
