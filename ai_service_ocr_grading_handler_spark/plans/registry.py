@@ -1632,3 +1632,107 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact search within NPROBE inverted lists. At 100 TB `cell` is the
     bucketing/partition key, so each probe is a pruned scan."""
     return _sim.ivf_topk(spark, sf_dir, k=3, n_queries=10).orderBy("q_id", "rank")
+
+
+@register(
+    "events_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window (native gap-merge sessions, also the streaming
+    session operator): window.end = last event + gap, matching the oracle's
+    lag-based reconstruction."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "events_sliding_window",
+    """
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+               - (t.i * INTERVAL 30 MINUTE) AS win_start,
+             value
+      FROM events, range(0, 2) t(i)
+    )
+    SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM buckets
+    GROUP BY win_start ORDER BY win_start
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h length, 30m slide): every event lands
+    in exactly 2 windows; the oracle reconstructs the assignment with a
+    bucket - i*slide unnest."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start")
+    )
+
+
+@register(
+    "base64_roundtrip",
+    """
+    SELECT doc_id,
+           to_base64(encode(text)) AS b64,
+           md5(decode(from_base64(to_base64(encode(text))))) AS roundtrip_md5,
+           md5(text) AS source_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 transport encoding (llm_format_convertion.py:119,135,181):
+    base64/unbase64 round-trip over document bytes, hash-verified."""
+    docs = _t(spark, sf_dir, "documents")
+    b64 = F.base64(F.encode(F.col("text"), "utf-8"))
+    return docs.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.md5(F.unbase64(b64)).alias("roundtrip_md5"),
+        F.md5("text").alias("source_md5"),
+    ).orderBy("doc_id")
