@@ -1729,7 +1729,9 @@ def q_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T15 transport encoding (llm_format_convertion.py:119,135,181):
     base64/unbase64 round-trip over document bytes, hash-verified."""
     docs = _t(spark, sf_dir, "documents")
-    b64 = F.base64(F.encode(F.col("text"), "utf-8"))
+    raw = F.base64(F.encode(F.col("text"), "utf-8"))
+    # Spark's base64 is MIME (76-char lines, \r\n); strip to canonical RFC 4648
+    b64 = F.regexp_replace(raw, "[\\r\\n]", "")
     return docs.select(
         "doc_id",
         b64.alias("b64"),
