@@ -104,3 +104,35 @@ def test_metrics_ledger_has_lineage_columns(spark, tmp_path):
         "max_warc_ts",
     } <= cols
     assert met.filter(F.col("row_count") <= 0).count() == 0
+
+
+def test_failed_run_commits_nothing_then_resumes_cleanly(spark, tmp_path, monkeypatch):
+    """Job-abort atomicity: if the kernel dies mid-run, the output-commit
+    protocol exposes NO partial files, so the next run's resume frontier is
+    exactly the pre-crash state and reprocesses everything."""
+    import pytest as _pytest
+
+    from ai_service_ocr_grading_handler_spark.operators.extract import extract_pages as real_extract
+
+    pages = _pages(spark, tmp_path)
+    out = str(tmp_path / "job")
+
+    def poisoned_extract(df):
+        # real kernel, then a column that raises in every executor task
+        return real_extract(df).withColumn(
+            "content_chars",
+            F.expr("cast(raise_error('injected crash') as bigint)"),
+        )
+
+    monkeypatch.setattr(lineage, "extract_pages", poisoned_extract)
+    with _pytest.raises(Exception):
+        lineage.run_extract(spark, pages, out, "run-crash")
+    monkeypatch.undo()
+
+    extracted = tmp_path / "job/extracted"
+    committed = list(extracted.rglob("*.parquet")) if extracted.exists() else []
+    assert committed == []  # all-or-nothing: the aborted job exposed no files
+
+    m = lineage.run_extract(spark, pages, out, "run-after-crash")
+    assert m["rows_written"] == pages.count()
+    assert lineage.verify_table(spark, out)["consistent"]
