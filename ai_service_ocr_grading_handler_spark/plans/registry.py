@@ -1738,3 +1738,105 @@ def q_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.unbase64(b64)).alias("roundtrip_md5"),
         F.md5("text").alias("source_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "events_cube",
+    """
+    SELECT date_trunc('day', ts) AS day_ts, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY CUBE(date_trunc('day', ts), event_type)
+    ORDER BY day_ts NULLS FIRST, event_type NULLS FIRST
+    """,
+)
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all four (day x type) aggregation levels in one
+    shuffle (partial aggregation expands grouping ids map-side)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.cube(F.date_trunc("day", "ts").alias("day_ts"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy(F.asc_nulls_first("day_ts"), F.asc_nulls_first("event_type"))
+    )
+
+
+@register(
+    "lineitem_unpivot",
+    """
+    SELECT measure, round(sum(amount), 2) AS total
+    FROM (
+      SELECT 'quantity' AS measure, l_quantity AS amount FROM lineitem
+      UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'discount', l_discount FROM lineitem
+    ) GROUP BY measure ORDER BY measure
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack(): wide measures -> (measure, amount) rows without
+    N scans (the UNION-ALL oracle reads lineitem three times; stack reads
+    it once)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.selectExpr(
+            "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+            " 'discount', l_discount) AS (measure, amount)"
+        )
+        .groupBy("measure")
+        .agg(F.round(F.sum("amount"), 2).alias("total"))
+        .orderBy("measure")
+    )
+
+
+@register(
+    "label_centroids",
+    f"""
+    WITH per_dim AS (
+      SELECT label, t.i AS dim, avg(embedding[t.i]::double) AS v
+      FROM embeddings, range(1, {_sim.EMB_DIM} + 1) t(i)
+      GROUP BY label, t.i
+    ), centroids AS (
+      SELECT label, list(v ORDER BY dim) AS centroid FROM per_dim GROUP BY label
+    )
+    SELECT e.label, count(*) AS n_vecs,
+           round(sqrt({_sim.DUCK_DOT.format(a='c.centroid', b='c.centroid', dim=_sim.EMB_DIM)}), 4) AS centroid_norm,
+           round(avg({_sim.duck_cosine('e.embedding', 'c.centroid')}), 4) AS mean_cos_to_centroid
+    FROM embeddings e JOIN centroids c ON e.label = c.label
+    GROUP BY e.label, c.centroid
+    ORDER BY e.label
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation: per-label centroid (64 per-dim avgs in ONE
+    shuffle — no unnest explosion on the Spark side) + mean cosine of
+    members to their centroid via a broadcast join back."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim_avgs = [
+        F.avg(F.col("embedding").getItem(d).cast("double")).alias(f"d{d}")
+        for d in range(_sim.EMB_DIM)
+    ]
+    centroids = (
+        emb.groupBy("label")
+        .agg(*dim_avgs)
+        .select(
+            "label",
+            F.array(*[F.col(f"d{d}") for d in range(_sim.EMB_DIM)]).alias("centroid"),
+        )
+    )
+    joined = emb.join(F.broadcast(centroids), "label")
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sqrt(F.first(_sim._dot(F.col("centroid"), F.col("centroid")))), 4
+            ).alias("centroid_norm"),
+            F.round(
+                F.avg(_sim.cosine(F.col("embedding"), F.col("centroid"))), 4
+            ).alias("mean_cos_to_centroid"),
+        )
+        .orderBy("label")
+    )
