@@ -186,3 +186,63 @@ def mapping_model_with_name(model_name: str, llm_name_mapping=None):
         if key == model_name:
             return value
     return "model does not found"
+
+
+# --- provider message-dialect conversions -------------------------------------
+# Byte-exact ports of /root/reference/engine/core/llm_format_convertion.py.
+# NOTE: convert_gpt_to_gemini is defined TWICE in the reference (:35 and
+# :88); Python keeps the second, so only the :88 semantics (claude-style
+# system fold + single parts message) are live — ported accordingly.
+
+
+def convert_normal_to_gpt(message: dict) -> list[dict]:
+    """llm_format_convertion.py:5-33: ordered system/system/system/user
+    messages; empty answer -> "No Answer" (quirk: the 'studentAnswer: '
+    prefix is dropped in that case)."""
+    out: list[dict] = []
+    if "systemPrompt" in message:
+        out.append({"role": "system", "content": message["systemPrompt"]})
+    if "rubric" in message:
+        out.append({"role": "system", "content": message["rubric"]})
+    if "question" in message:
+        out.append({"role": "system", "content": "question: " + message["question"]})
+    if "studentAnswer" in message or "answer" in message:
+        ans = str(message["answer"])
+        out.append(
+            {"role": "user", "content": ("studentAnswer: " + ans) if ans != "" else "No Answer"}
+        )
+    return out
+
+
+def _fold_system_and_user(gpt_data: list[dict]) -> tuple[str, str]:
+    system = ""
+    combined = ""
+    for m in gpt_data:
+        if m["role"] == "system":
+            system += m["content"].strip() + "\n\n"
+        elif m["role"] == "user":
+            combined += m["content"] + ","  # trailing comma quirk preserved
+    return system.strip(), combined
+
+
+def convert_gpt_to_claude(gpt_data: list[dict]) -> dict:
+    """llm_format_convertion.py:52-70."""
+    system, combined = _fold_system_and_user(gpt_data)
+    return {
+        "system": system,
+        "messages": [
+            {"role": "user", "content": [{"text": combined, "type": "text"}]}
+        ],
+    }
+
+
+def convert_gpt_to_gemini(gpt_data: list[dict]) -> dict:
+    """llm_format_convertion.py:88-106 (the LIVE second definition)."""
+    system, combined = _fold_system_and_user(gpt_data)
+    return {"system": system, "messages": [{"role": "user", "parts": [combined]}]}
+
+
+def convert_gpt_to_llamma(gpt_data: list[dict]) -> dict:
+    """llm_format_convertion.py:72-86 (reference spelling kept)."""
+    system, combined = _fold_system_and_user(gpt_data)
+    return {"system": system, "prompt": combined}

@@ -1840,3 +1840,76 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+from ai_service_ocr_grading_handler_spark.functions import dialects as _dlx
+
+_SP_LIT = "You are a strict grader."
+_Q6_DUCK = "array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ')"
+_A8_DUCK = (
+    "(CASE WHEN doc_id % 4 = 1 THEN ''"
+    " ELSE array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') END)"
+)
+_RUBRIC_DUCK = (
+    "('Rubrics: ' || (0.5 * (1 + doc_id % 4)) || ' Points: criteria-'"
+    " || (doc_id % 7) || ', ')"
+)
+_USER_DUCK = (
+    f"(CASE WHEN {_A8_DUCK} = '' THEN 'No Answer'"
+    f" ELSE 'studentAnswer: ' || {_A8_DUCK} END)"
+)
+# JSON-escaped system fold: trim() drops the rubric's trailing space
+_SYSF_DUCK = (
+    f"('{_SP_LIT}' || '\\n\\n' || rtrim({_RUBRIC_DUCK}) || '\\n\\n'"
+    f" || 'question: ' || {_Q6_DUCK})"
+)
+
+
+@register(
+    "message_dialects",
+    f"""
+    SELECT doc_id,
+      '[{{"role":"system","content":"{_SP_LIT}"}},'
+        || '{{"role":"system","content":"' || {_RUBRIC_DUCK} || '"}},'
+        || '{{"role":"system","content":"question: ' || {_Q6_DUCK} || '"}},'
+        || '{{"role":"user","content":"' || {_USER_DUCK} || '"}}]' AS gpt_json,
+      '{{"system":"' || {_SYSF_DUCK}
+        || '","messages":[{{"role":"user","content":[{{"text":"'
+        || {_USER_DUCK} || ',","type":"text"}}]}}]}}' AS claude_json,
+      '{{"system":"' || {_SYSF_DUCK}
+        || '","messages":[{{"role":"user","parts":["'
+        || {_USER_DUCK} || ',"]}}]}}' AS gemini_json,
+      '{{"system":"' || {_SYSF_DUCK}
+        || '","prompt":"' || {_USER_DUCK} || ',"}}' AS llama_json
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_message_dialects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provider dialect conversion (§3.1 step 6, llm_format_convertion.py):
+    normalized message -> gpt message list -> claude/gemini/llama request
+    shapes, all as native struct transforms serialized with to_json. The
+    oracle reconstructs the exact JSON text (quirks included: trailing
+    user comma, trimmed system fold, 'No Answer' fallback, the live SECOND
+    convert_gpt_to_gemini definition)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    sp = F.lit(_SP_LIT)
+    rubric = F.concat(
+        F.lit("Rubrics: "),
+        (0.5 * (1 + d % 4)).cast("string"),
+        F.lit(" Points: criteria-"),
+        (d % 7).cast("string"),
+        F.lit(", "),
+    )
+    q6 = F.array_join(F.slice(F.split("text", " "), 1, 6), " ")
+    a8 = F.when(d % 4 == 1, F.lit("")).otherwise(
+        F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    )
+    gpt = _dlx.gpt_messages(sp, rubric, q6, a8)
+    return docs.select(
+        "doc_id",
+        F.to_json(gpt).alias("gpt_json"),
+        F.to_json(_dlx.to_claude(gpt)).alias("claude_json"),
+        F.to_json(_dlx.to_gemini(gpt)).alias("gemini_json"),
+        F.to_json(_dlx.to_llama(gpt)).alias("llama_json"),
+    ).orderBy("doc_id")
