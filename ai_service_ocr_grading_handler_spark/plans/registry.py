@@ -1913,3 +1913,56 @@ def q_message_dialects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(_dlx.to_gemini(gpt)).alias("gemini_json"),
         F.to_json(_dlx.to_llama(gpt)).alias("llama_json"),
     ).orderBy("doc_id")
+
+
+_GOLD = DUCKDB_GOLDEN_TEXT_EXPR.format(col="d.text")
+
+
+@register(
+    "generate_update_records",
+    f"""
+    SELECT {DUCKDB_URL_EXPR.format(id='d.doc_id', src='d.source')} AS url,
+           {_GOLD} AS student_answer,
+           round(sum({DUCKDB_RESP_SCORE.replace('doc_id', 'd.doc_id')}), 2) AS score,
+           round(sum({DUCKDB_RUBRIC_MAX.replace('doc_id', 'd.doc_id')}), 2) AS max_score,
+           sum({DUCKDB_RESP_SCORE.replace('doc_id', 'd.doc_id')})
+             = sum({DUCKDB_RUBRIC_MAX.replace('doc_id', 'd.doc_id')}) AS is_correct,
+           ({_GOLD} = '' OR lower({_GOLD}) = 'Empty Response') AS is_blank,
+           'AI_PROCESSED' AS status
+    FROM documents d, range(0, 3) t(i) WHERE t.i <= d.doc_id % 3
+    GROUP BY d.doc_id, d.text, d.source
+    ORDER BY url
+    """,
+)
+def q_generate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL /generate lifecycle (SURVEY.md §3.1) as one plan: pages
+    scan -> Arrow extraction kernel (the only Python hop) -> join grading
+    requests -> rubric-fold scoring + flags -> the reference's DB-update
+    record shape (utils.py:114-125). The extracted text IS the graded
+    student answer, so the oracle's value-hash proves byte-identical
+    extraction AND grading in a single end-to-end artifact.
+
+    Plan shape: narrow kernel, one shuffle for the doc_id equi-join
+    (requests side is same-cardinality, not broadcastable at 100 TB),
+    per-row folds, no other exchange."""
+    pages = pages_df_from_documents(spark, sf_dir)
+    extracted = extract_pages(pages).select(
+        "url",
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        F.col("text").alias("student_answer"),
+    )
+    req = requests_df(spark, sf_dir).select("doc_id", "rubrics", "responses")
+    joined = extracted.join(req, "doc_id")
+    graded = scoring.grade(
+        joined, rubrics_col="rubrics", responses_col="responses",
+        text_col="student_answer",
+    )
+    return graded.select(
+        "url",
+        "student_answer",
+        F.round("score", 2).alias("score"),
+        F.round("max_score", 2).alias("max_score"),
+        "is_correct",
+        F.col("is_blank"),
+        F.lit("AI_PROCESSED").alias("status"),
+    ).orderBy("url")
