@@ -1966,3 +1966,35 @@ def q_generate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_blank"),
         F.lit("AI_PROCESSED").alias("status"),
     ).orderBy("url")
+
+
+from ai_service_ocr_grading_handler_spark.operators import layout_extract as _lay
+
+
+@register(
+    "extract_layout_docs",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             {DUCKDB_GOLDEN_TEXT_EXPR.format(col='text')} AS gold,
+             len(list_filter(string_split({DUCKDB_GOLDEN_TEXT_EXPR.format(col='text')},
+                 chr(10) || chr(10)), c -> c <> '')) AS n_chunks
+      FROM documents
+    )
+    SELECT doc_id,
+           ('Section ' || doc_id || chr(10) || chr(10) || gold) AS text,
+           greatest(2, ceil(n_chunks / 8.0))::int AS n_pages,
+           (n_chunks + 1 + 2 * greatest(2, ceil(n_chunks / 8.0)))::int AS n_boxes,
+           1 AS n_headings,
+           (2 * greatest(2, ceil(n_chunks / 8.0)))::int AS n_furniture,
+           length('Section ' || doc_id || chr(10) || chr(10) || gold) AS content_chars
+    FROM g ORDER BY doc_id
+    """,
+)
+def q_extract_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-aware extraction (the PDF half of the north star): paginated
+    two-column docs with running heads/page numbers -> XY-cut reading-order
+    text + furniture removal + font-based heading labels, byte-checked by
+    the oracle's golden reconstruction."""
+    layout = _lay.layout_df_from_documents(spark, sf_dir)
+    return _lay.extract_layout_docs(layout).orderBy("doc_id")

@@ -1,0 +1,74 @@
+"""Layout-aware segmentation: XY-cut reading order, furniture removal,
+box-order invariance, codec stub contract."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ai_service_ocr_grading_handler_spark.core import layout
+from ai_service_ocr_grading_handler_spark.corpus import golden_text
+from ai_service_ocr_grading_handler_spark.operators import layout_extract as lx
+
+SF = "/root/testdata/sf0.001"
+
+
+def _doc(doc_id=7, text="one two three four five six seven eight nine ten "
+                        "eleven twelve thirteen fourteen fifteen sixteen "
+                        "seventeen eighteen nineteen twenty"):
+    return doc_id, text, lx.synth_layout_doc(doc_id, text)
+
+
+def test_reading_order_reassembles_columns():
+    doc_id, text, blob = _doc()
+    r = layout.extract_layout(blob)
+    assert r.text == f"Section {doc_id}\n\n" + golden_text(text)
+
+
+def test_box_order_within_container_is_irrelevant():
+    """Shuffling box order inside each page must not change the output —
+    reading order comes from geometry, not container order."""
+    doc_id, text, blob = _doc()
+    boxes = layout.unpack_layout(blob)
+    rng = random.Random(4)
+    pages: list[list] = []
+    n_pages = max(b.page for b in boxes) + 1
+    for p in range(n_pages):
+        pb = [
+            (b.x0, b.y0, b.x1, b.y1, b.font, b.text)
+            for b in boxes
+            if b.page == p
+        ]
+        rng.shuffle(pb)
+        pages.append(pb)
+    shuffled = layout.pack_layout(pages)
+    assert layout.extract_layout(shuffled).text == layout.extract_layout(blob).text
+
+
+def test_furniture_detection():
+    _, _, blob = _doc()
+    r = layout.extract_layout(blob)
+    furn = {b.text for b in r.blocks if b.label == "furniture"}
+    assert "Journal of Spark Extraction" in furn
+    assert any(t.startswith("Page ") for t in furn)  # digit-normalized recurrence
+    assert all("Page" not in t or t.startswith("Page ") for t in furn)
+    heads = [b for b in r.blocks if b.label == "heading"]
+    assert len(heads) == 1 and heads[0].text.startswith("Section ")
+    assert heads[0].confidence == 0.9
+
+
+def test_pdf_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        layout.parse_pdf_bytes(b"%PDF-1.7 fake")
+
+
+def test_spark_layout_byte_identity(spark):
+    out = {
+        r.doc_id: r.text
+        for r in lx.extract_layout_docs(lx.layout_df_from_documents(spark, SF)).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    assert len(out) == len(docs)
+    for d in docs:
+        assert out[d.doc_id] == f"Section {d.doc_id}\n\n" + golden_text(d.text)
