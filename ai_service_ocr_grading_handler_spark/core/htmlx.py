@@ -96,6 +96,7 @@ class Block:
     depth_boiler: bool = False  # inside <nav>/<header>/<footer>/...
     kind: str = "div"  # nearest enclosing block tag
     is_content: bool = False
+    confidence: float = 0.0  # classifier confidence in the content label
 
 
 @dataclass
@@ -258,6 +259,19 @@ def classify_blocks(blocks: list[Block]) -> list[Block]:
         next_c = i + 1 < n and blocks[i + 1].is_content and blocks[i + 1].n_words >= _NEIGHBOR_WORDS
         if prev_c and next_c:
             b.is_content = True
+    # per-block confidence in the assigned label (north star: per-block
+    # confidence scoring): strong signals = structural container agreement,
+    # long link-free text; weak = smoothing rescues, short blocks
+    for b in blocks:
+        link_conf = 1.0 - min(1.0, b.link_density / _MAX_LINK_DENSITY) * 0.5
+        length_conf = min(1.0, b.n_words / (2.0 * _MIN_CONTENT_WORDS))
+        if b.is_content:
+            base = 0.9 if b.depth_article else 0.6
+            b.confidence = round(min(1.0, base * link_conf + 0.4 * length_conf), 4)
+        else:
+            base = 0.9 if b.depth_boiler else 0.6
+            anti_length = 1.0 - length_conf
+            b.confidence = round(min(1.0, base + 0.1 * anti_length), 4)
     return blocks
 
 

@@ -42,7 +42,7 @@ EXTRACTED_SCHEMA_DDL = (
 BLOCKS_SCHEMA_DDL = (
     "url string, block_id int, kind string, text string, n_words int, "
     "text_density double, link_density double, is_content boolean, "
-    "src_start bigint, src_end bigint"
+    "confidence double, src_start bigint, src_end bigint"
 )
 
 
@@ -116,6 +116,7 @@ def extract_blocks(pages: DataFrame) -> DataFrame:
                             "text_density": b.text_density,
                             "link_density": b.link_density,
                             "is_content": b.is_content,
+                            "confidence": b.confidence,
                             "src_start": b.src_start,
                             "src_end": b.src_end,
                         }
@@ -131,6 +132,7 @@ def extract_blocks(pages: DataFrame) -> DataFrame:
                     "text_density",
                     "link_density",
                     "is_content",
+                    "confidence",
                     "src_start",
                     "src_end",
                 ],

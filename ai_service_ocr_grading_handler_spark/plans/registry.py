@@ -1998,3 +1998,45 @@ def q_extract_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's golden reconstruction."""
     layout = _lay.layout_df_from_documents(spark, sf_dir)
     return _lay.extract_layout_docs(layout).orderBy("doc_id")
+
+
+from ai_service_ocr_grading_handler_spark.operators.extract import extract_blocks as _xblocks
+
+
+@register(
+    "content_block_spans",
+    f"""
+    WITH g AS (
+      SELECT doc_id, source,
+             string_split({DUCKDB_GOLDEN_TEXT_EXPR.format(col='text')},
+                          chr(10) || chr(10)) AS chunks
+      FROM documents
+    )
+    SELECT {DUCKDB_URL_EXPR.format(id='doc_id', src='source')} AS url,
+           t.i::int AS content_rank,
+           chunks[t.i + 1] AS block_text
+    FROM g, range(0, 16) t(i)
+    WHERE t.i < len(chunks) AND chunks[t.i + 1] <> ''
+    ORDER BY url, content_rank
+    """,
+)
+def q_content_block_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-BLOCK span fidelity (finer than whole-text identity): each
+    content-classified block of the exploded block table must equal the
+    corresponding golden chunk, in order. Block-level confidence and
+    density features ride along in `extract_blocks` (pytest-checked; they
+    depend on the boilerplate, which the oracle cannot see)."""
+    from pyspark.sql import Window
+
+    pages = pages_df_from_documents(spark, sf_dir)
+    blocks = _xblocks(pages).filter(F.col("is_content"))
+    w = Window.partitionBy("url").orderBy("block_id")
+    return (
+        blocks.withColumn("content_rank", F.row_number().over(w) - 1)
+        .select(
+            "url",
+            F.col("content_rank").cast("int").alias("content_rank"),
+            F.col("text").alias("block_text"),
+        )
+        .orderBy("url", "content_rank")
+    )

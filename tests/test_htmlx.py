@@ -114,3 +114,29 @@ def test_segment_blocks_inline_tags_do_not_split():
     ]
     assert len(blocks) == 1
     assert blocks[0].text == "Hello world"
+
+
+def test_block_confidence_scores():
+    """Per-block confidence (north star): confident about long link-free
+    content in <article>, confident about nav furniture, less sure about
+    short smoothing-rescued blocks."""
+    from ai_service_ocr_grading_handler_spark.core.htmlx import extract_doc
+
+    long_p = ("strong signal content paragraph with plenty of words to be "
+              "sure about it and then some more to pass every threshold set")
+    html = (
+        f"<body><nav><a href='/'>home</a> <a href='/s'>shop</a></nav>"
+        f"<article><p>{long_p}</p><p>Short bridge here.</p><p>{long_p}</p></article>"
+        f"</body>"
+    ).encode()
+    blocks = extract_doc(html).blocks
+    by_text = {b.text[:12]: b for b in blocks}
+    assert all(0.0 <= b.confidence <= 1.0 for b in blocks)
+    long_b = by_text["strong signa"]
+    bridge = by_text["Short bridge"]
+    nav = by_text["home shop"] if "home shop" in by_text else next(
+        b for b in blocks if not b.is_content
+    )
+    assert long_b.is_content and long_b.confidence > 0.85
+    assert bridge.is_content and bridge.confidence < long_b.confidence
+    assert not nav.is_content and nav.confidence > 0.8
