@@ -2040,3 +2040,29 @@ def q_content_block_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("url", "content_rank")
     )
+
+
+@register(
+    "corpus_top_ngrams",
+    f"""
+    WITH sh AS (
+      SELECT unnest({_dd.SHINGLES_DUCK}) AS ngram FROM documents
+    )
+    SELECT ngram, count(*) AS n_docs
+    FROM sh GROUP BY ngram
+    ORDER BY n_docs DESC, ngram LIMIT 20
+    """,
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k n-gram frequencies (the vocabulary/contamination
+    audit every training-data pipeline runs): explode distinct per-doc
+    shingles -> count -> top-k. Partial aggregation combines map-side, so
+    the shuffle carries (ngram, partial count), not rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_dd.shingles_col()).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("ngram"))
+        .limit(20)
+    )
