@@ -1,1 +1,54 @@
-"""ai-service-ocr-grading-handler-spark: PySpark-native extraction engine."""
+"""PySpark-native document-extraction engine (see README.md).
+
+Public API — the operators a reference-handler user needs, importable from
+the package root. Submodules import lazily so `import
+ai_service_ocr_grading_handler_spark` stays cheap on executors.
+"""
+
+from __future__ import annotations
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "get_spark",
+    "tune_session",
+    "extract_pages",
+    "extract_blocks",
+    "extract_layout_docs",
+    "grade",
+    "run_extract",
+    "salted_repartition",
+    "read_pages",
+    "write_pages_partitioned",
+]
+
+_LAZY = {
+    "get_spark": ("ai_service_ocr_grading_handler_spark.session", "get_spark"),
+    "tune_session": ("ai_service_ocr_grading_handler_spark.session", "tune_session"),
+    "extract_pages": ("ai_service_ocr_grading_handler_spark.operators.extract", "extract_pages"),
+    "extract_blocks": ("ai_service_ocr_grading_handler_spark.operators.extract", "extract_blocks"),
+    "extract_layout_docs": (
+        "ai_service_ocr_grading_handler_spark.operators.layout_extract",
+        "extract_layout_docs",
+    ),
+    "grade": ("ai_service_ocr_grading_handler_spark.operators.scoring", "grade"),
+    "run_extract": ("ai_service_ocr_grading_handler_spark.plans.lineage", "run_extract"),
+    "salted_repartition": (
+        "ai_service_ocr_grading_handler_spark.plans.lineage",
+        "salted_repartition",
+    ),
+    "read_pages": ("ai_service_ocr_grading_handler_spark.sources.pages", "read_pages"),
+    "write_pages_partitioned": (
+        "ai_service_ocr_grading_handler_spark.sources.pages",
+        "write_pages_partitioned",
+    ),
+}
+
+
+def __getattr__(name: str):
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
