@@ -176,10 +176,16 @@ class LayoutResult:
 
 def extract_layout(blob: bytes | None) -> LayoutResult:
     """Container bytes -> reading-ordered content text + labeled blocks.
-    Pure function of the bytes (Arrow batch-invariance holds like htmlx)."""
+
+    TOTAL function like htmlx.extract_doc: corrupt/truncated/foreign bytes
+    yield an empty result instead of raising — one poisoned row must never
+    kill a task (and its retries) on a real crawl."""
     if blob is None:
         return LayoutResult("", [], 0, 0)
-    boxes = unpack_layout(bytes(blob))
+    try:
+        boxes = unpack_layout(bytes(blob))
+    except Exception:
+        return LayoutResult("", [], 0, 0)
     mark_furniture(boxes)
     classify_fonts(boxes)
     ordered = reading_order(boxes)

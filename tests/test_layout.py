@@ -72,3 +72,26 @@ def test_spark_layout_byte_identity(spark):
     assert len(out) == len(docs)
     for d in docs:
         assert out[d.doc_id] == f"Section {d.doc_id}\n\n" + golden_text(d.text)
+
+
+def test_corrupt_bytes_are_total():
+    """One poisoned row must never kill a task: garbage, truncation, wrong
+    magic, and empty input all yield the empty result."""
+    good = _doc()[2]
+    for blob in (b"", b"garbage", b"%PDF-1.7 real pdf bytes", good[: len(good) // 2], None):
+        r = layout.extract_layout(blob)
+        assert r.text == "" and r.n_boxes == 0
+
+
+def test_layout_determinism_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=300))
+    def run(b):
+        r1 = layout.extract_layout(b)
+        r2 = layout.extract_layout(b)
+        assert r1.text == r2.text and r1.n_boxes == r2.n_boxes
+
+    run()
