@@ -260,11 +260,15 @@ def q_events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ai_service_ocr_grading_handler_spark.operators import textquality as _tq0
+
+
 @register(
     "doc_token_stats",
-    """
+    f"""
     SELECT doc_id,
            len(string_split(trim(text), ' ')) AS n_tokens,
+           {_tq0.duck_bpe_token_count('text')} AS n_bpe_tokens,
            length(text) AS n_chars_computed,
            round(len(string_split(trim(text), ' ')) / (length(text) / 100.0), 4)
              AS tokens_per_100_chars
@@ -274,13 +278,15 @@ def q_events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting over `documents` (§'text analysis'),
-    all JVM-side — no Python in the plan."""
+    """Token counting over `documents` (§'text analysis'): whitespace
+    tokens AND tokenizer-style BPE-ish pre-token counts (RE2-safe regex) in
+    one projection, all JVM-side — no Python in the plan."""
     docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
     n_tokens = F.size(F.split(F.trim(F.col("text")), " "))
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
+        _tq0.bpe_token_count("text").alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_computed"),
         F.round(n_tokens / (F.length("text") / F.lit(100.0)), 4).alias(
             "tokens_per_100_chars"
@@ -491,53 +497,38 @@ _PAYLOAD_DUCK = "array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
 
 
 @register(
-    "span_extract_ocr",
+    "span_extract",
     f"""
     SELECT doc_id, (doc_id % 4)::int AS variant,
-           {_PAYLOAD_DUCK} AS extracted
+           {_PAYLOAD_DUCK} AS ocr_extracted,
+           CASE WHEN doc_id % 2 = 0
+                THEN '{{"score": ' || (doc_id % 10) || '}}'
+                ELSE 'plain response ' || {_PAYLOAD_DUCK}
+           END AS claude_extracted
     FROM documents ORDER BY doc_id
     """,
 )
-def q_span_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1 `find_data_in_string(s,'ocr')`: four raw-model-output shapes
-    (ocr:'...', {{"ocr": "..."}}, quote-wrapped, plain) must all yield the
-    bare payload. Variant 0 uses single quotes: the reference strips leading/
-    trailing DOUBLE quotes before matching (utils.py:169), so `ocr: "x"`
-    loses its closing quote and falls through — single-quoted payloads are
-    the shape the extractor actually recovers."""
+def q_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2 `find_data_in_string` spans in one projection.
+
+    T1 (`ocr`): four raw-model-output shapes (ocr:'...', {{"ocr": "..."}},
+    quote-wrapped, plain) must all yield the bare payload. Variant 0 uses
+    single quotes: the reference strips leading/trailing DOUBLE quotes
+    before matching (utils.py:169), so `ocr: "x"` loses its closing quote
+    and falls through — single-quoted payloads are the shape the extractor
+    actually recovers.
+
+    T2 (`claude-json`): first minimal {{...}} block, else the whole input."""
     docs = _t(spark, sf_dir, "documents")
     payload = F.expr(_PAYLOAD_SPARK)
     variant = (F.col("doc_id") % 4).cast("int")
-    raw = (
+    raw_ocr = (
         F.when(variant == 0, F.concat(F.lit("ocr: '"), payload, F.lit("'")))
         .when(variant == 1, F.concat(F.lit('{"ocr": "'), payload, F.lit('"}')))
         .when(variant == 2, F.concat(F.lit('""'), payload, F.lit('""')))
         .otherwise(payload)
     )
-    return docs.select(
-        "doc_id",
-        variant.alias("variant"),
-        spans.extract_ocr_span(raw).alias("extracted"),
-    ).orderBy("doc_id")
-
-
-@register(
-    "span_extract_claude_json",
-    f"""
-    SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0
-                THEN '{{"score": ' || (doc_id % 10) || '}}'
-                ELSE 'plain response ' || {_PAYLOAD_DUCK}
-           END AS extracted
-    FROM documents ORDER BY doc_id
-    """,
-)
-def q_span_claude(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T2 `find_data_in_string(s,'claude-json')`: first minimal {...} block,
-    else the whole input."""
-    docs = _t(spark, sf_dir, "documents")
-    payload = F.expr(_PAYLOAD_SPARK)
-    raw = F.when(
+    raw_claude = F.when(
         F.col("doc_id") % 2 == 0,
         F.concat(
             F.lit('model says {"score": '),
@@ -546,7 +537,10 @@ def q_span_claude(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.concat(F.lit("plain response "), payload))
     return docs.select(
-        "doc_id", spans.extract_claude_json(raw).alias("extracted")
+        "doc_id",
+        variant.alias("variant"),
+        spans.extract_ocr_span(raw_ocr).alias("ocr_extracted"),
+        spans.extract_claude_json(raw_claude).alias("claude_extracted"),
     ).orderBy("doc_id")
 
 
@@ -687,11 +681,14 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.jaccard_pairs(_dd.dup_corpus(spark, sf_dir)).orderBy("a_id", "b_id")
 
 
-@register("minhash_lsh_neardups", None)  # xxhash64 has no DuckDB equivalent:
+@register("minhash_lsh_neardups", _dd.minhash_lsh_duck(_dd.DUP_CORPUS_DUCK, 0.6))
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32) -> 16x2 LSH banding -> bucket-join candidates -> exact
-    verification. Rows-only for the driver; tests/test_dedup.py asserts the
-    output EQUALS ngram_jaccard_pairs on the planted corpus (recall 1.0)."""
+    """MinHash(32) -> 16x2 LSH banding -> bucket-join candidates ->
+    candidate-only exact verification (corpus semi-joined to candidate ids
+    BEFORE the shingle explode). All hashing is md5-derived, so the DuckDB
+    oracle value-checks signatures, band keys and Jaccard; additionally
+    tests/test_dedup.py asserts the output EQUALS ngram_jaccard_pairs on
+    the planted corpus (recall 1.0)."""
     return _dd.minhash_lsh_neardups(_dd.dup_corpus(spark, sf_dir)).orderBy(
         "a_id", "b_id"
     )

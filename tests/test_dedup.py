@@ -27,6 +27,24 @@ def test_minhash_lsh_equals_exact_jaccard(spark):
     assert lsh == exact
 
 
+def test_short_docs_never_kill_a_task(spark):
+    """Docs with fewer words than SHINGLE_N must yield EMPTY shingle arrays
+    (matching DuckDB's range(0, n-2) semantics), not a task-killing
+    INVALID_PARAMETER_VALUE.START from a descending sequence() — the
+    'one poisoned row never kills a task' contract."""
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, "one"), (3, ""), (4, "three word doc"),
+         (5, "a slightly longer document with words")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r.sh for r in df.select("doc_id", dedup.shingles_col().alias("sh")).collect()}
+    assert rows[1] == [] and rows[2] == [] and rows[3] == []
+    assert rows[4] == ["three word doc"]
+    # the full pipelines stay total too
+    assert dedup.jaccard_pairs(df).count() == 0
+    assert dedup.minhash_lsh_neardups(df).count() == 0
+
+
 def test_simhash_exact_copy_identical_near_copy_close(spark):
     dup = dedup.dup_corpus(spark, SF).withColumn(
         "word_hashes", dedup.word_hashes_col("text")

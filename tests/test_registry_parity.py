@@ -56,13 +56,9 @@ def test_query_matches_oracle(spark, sf_correct, name):
 
 def test_every_query_has_sql_or_documented_exemption():
     missing = set(registry.queries()) - set(_ORACLES)
-    # non-SQL-expressible ops must be listed here with a reason
-    allowed_rows_only: set[str] = {
-        # MinHash permutations hash shingles with Spark's xxhash64, which has
-        # no DuckDB equivalent; tests/test_dedup.py proves the output equals
-        # the fully-oracled ngram_jaccard_pairs on the planted corpus.
-        "minhash_lsh_neardups",
-    }
+    # non-SQL-expressible ops must be listed here with a reason; currently
+    # every registered query has a full DuckDB value oracle.
+    allowed_rows_only: set[str] = set()
     assert missing <= allowed_rows_only, f"queries without oracle SQL: {missing}"
 
 
