@@ -64,11 +64,24 @@ def _manifest_path(out_root: str, run_id: str) -> Path:
     return Path(out_root) / "runs" / f"{run_id}.json"
 
 
+def _committed_parquet(d: Path) -> bool:
+    """True iff `d` holds at least one COMMITTED parquet file. Leftover task
+    files under _temporary/ (driver killed before abortJob cleanup) and
+    other _/.-prefixed paths are ignored — Spark's reader skips them, so a
+    probe that counted them would make the subsequent read fail schema
+    inference in exactly the crash scenario resume exists for."""
+    for p in d.rglob("*.parquet"):
+        rel = p.relative_to(d)
+        if not any(part.startswith(("_", ".")) for part in rel.parts):
+            return True
+    return False
+
+
 def completed_urls(spark: SparkSession, out_root: str) -> DataFrame | None:
     """The resume frontier: urls already committed to the extracted table
     (column-pruned scan — only `url` is read)."""
     d = _extracted_dir(out_root)
-    if not d.exists() or not any(d.rglob("*.parquet")):
+    if not d.exists() or not _committed_parquet(d):
         return None
     return spark.read.parquet(str(d)).select("url")
 
@@ -137,6 +150,49 @@ def run_extract(
     p.parent.mkdir(parents=True, exist_ok=True)
     p.write_text(json.dumps(manifest, indent=2))
     return manifest
+
+
+def merge_upsert(
+    spark: SparkSession, ledger_dir: str, updates: DataFrame, key: str
+) -> DataFrame:
+    """S12 keyed write-back: the reference's Mongo
+    `update_one({key}, {$set: ...}, upsert=True)` (database_calling.py:26-35)
+    as a MERGE INTO emulation over a parquet ledger.
+
+    Semantics: rows in `updates` REPLACE ledger rows with the same key ($set,
+    last-write-wins), unmatched keys are inserted (upsert). Applying the same
+    update twice is a no-op — the ledger converges, it never double-applies
+    (the idempotency the reference gets from SQS content dedup).
+
+    Mechanics: read the committed ledger (if any), anti-join out the keys
+    being updated, union the updates, write to a NEW versioned directory,
+    then atomically swap a `current` pointer file. Readers resolve the
+    pointer first, so a crash mid-write leaves the previous version intact —
+    the same reader-isolation Iceberg gives via snapshot pointers; with an
+    Iceberg catalog this whole function is `MERGE INTO ledger USING updates
+    ON ledger.{key} = updates.{key} WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    MATCHED THEN INSERT *`. One shuffle on the key; at 100 TB the ledger and
+    updates are bucketed on the key so the anti-join is co-located.
+    """
+    root = Path(ledger_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    pointer = root / "current"
+    base = None
+    if pointer.exists():
+        vdir = root / pointer.read_text().strip()
+        if vdir.exists() and _committed_parquet(vdir):
+            base = spark.read.parquet(str(vdir))
+    merged = (
+        base.join(updates.select(key), key, "left_anti").unionByName(updates)
+        if base is not None
+        else updates
+    )
+    version = f"v{int(pointer.read_text().strip()[1:]) + 1}" if pointer.exists() else "v0"
+    merged.write.mode("overwrite").parquet(str(root / version))
+    tmp = root / "current.tmp"
+    tmp.write_text(version)
+    tmp.replace(pointer)  # atomic pointer swap = commit
+    return spark.read.parquet(str(root / version))
 
 
 def verify_table(spark: SparkSession, out_root: str) -> dict:

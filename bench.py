@@ -43,7 +43,7 @@ HEADLINE = [
     "join_semi_anti",
     "exact_dedup",
     "minhash_lsh_neardups",
-    "simhash_signatures",
+    "simhash_neardup_pairs",
     "cosine_topk",
     "lsh_ann_neardups",
     "doc_quality",

@@ -51,8 +51,47 @@ def test_extract_scan_prunes_to_kernel_columns(spark):
     assert "MapInPandas" in plan
 
 
+# queries that are SINKS by design: their point is the committed write
+# (merge_upsert ledger), so building them legitimately runs jobs
+_SINK_QUERIES = {"credit_writeback"}
+
+
+def test_no_driver_actions_inside_registry():
+    """Every non-sink registry callable must return a LAZY plan: no
+    count()/collect()/take/toPandas/write hiding inside the query body
+    (the eager set_ops_audit anti-pattern class). AST lint over each
+    registered function's source — parquet schema-inference jobs during
+    spark.read are metadata reads and don't count."""
+    import ast
+    import inspect
+    import textwrap
+
+    actions = {
+        "count", "collect", "take", "head", "first", "toPandas",
+        "toLocalIterator", "save", "saveAsTable", "foreach", "foreachPartition",
+    }
+    offenders: list[str] = []
+    for name, q in registry.queries().items():
+        if name in _SINK_QUERIES:
+            continue
+        tree = ast.parse(textwrap.dedent(inspect.getsource(q)))
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in actions
+                # F.count(...)/F.first(...) are Column AGGREGATES, not actions
+                and not (
+                    isinstance(node.func.value, ast.Name)
+                    and node.func.value.id == "F"
+                )
+            ):
+                offenders.append(f"{name}: .{node.func.attr}() at line {node.lineno}")
+    assert offenders == [], f"driver-side actions inside registry queries: {offenders}"
+
+
 def test_broadcast_joins_where_intended(spark):
-    for name in ["q3_shipping_priority", "route_requests", "prompt_lookup"]:
+    for name in ["q3_shipping_priority", "route_requests", "prompt_assembly"]:
         df = registry.queries()[name](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
