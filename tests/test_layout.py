@@ -58,9 +58,35 @@ def test_furniture_detection():
     assert heads[0].confidence == 0.9
 
 
-def test_pdf_codec_is_stubbed():
+def _has_pypdf() -> bool:
+    try:
+        import pypdf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_pypdf(), reason="pypdf present: real-parse branch applies")
+def test_pdf_codec_guards_when_no_parser():
     with pytest.raises(NotImplementedError):
         layout.parse_pdf_bytes(b"%PDF-1.7 fake")
+
+
+@pytest.mark.skipif(not _has_pypdf(), reason="no PDF parser in this runtime")
+def test_pdf_codec_real_when_parser_present():
+    """Build a minimal one-page PDF with pypdf itself, then parse it back
+    into positioned boxes feeding the same XY-cut kernel."""
+    import io
+
+    from pypdf import PdfWriter
+
+    w = PdfWriter()
+    w.add_blank_page(width=200, height=300)
+    buf = io.BytesIO()
+    w.write(buf)
+    boxes = layout.parse_pdf_bytes(buf.getvalue())
+    assert boxes == []  # blank page: no text boxes, but parse succeeds
 
 
 def test_spark_layout_byte_identity(spark):

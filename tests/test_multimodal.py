@@ -20,9 +20,33 @@ def test_pack_unpack_roundtrip():
     assert payload == b"hello world payload"
 
 
-def test_decode_pixels_is_stubbed():
+def _has_pil() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_pil(), reason="PIL present: real-decode branch applies")
+def test_decode_pixels_guards_when_no_codec():
     with pytest.raises(NotImplementedError):
         mm.decode_pixels(b"\x00" * 16)
+
+
+@pytest.mark.skipif(not _has_pil(), reason="no image codec in this runtime")
+def test_decode_pixels_real_when_codec_present():
+    import io
+
+    import PIL.Image
+
+    im = PIL.Image.new("RGB", (4, 3), (255, 0, 0))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    w, h, mode, raw = mm.decode_pixels(buf.getvalue())
+    assert (w, h, mode) == (4, 3, "RGB")
+    assert raw == b"\xff\x00\x00" * 12
 
 
 def test_metadata_kernel_batch_invariant(spark):
