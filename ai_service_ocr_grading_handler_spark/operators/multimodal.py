@@ -37,7 +37,7 @@ META_DDL = (
     "doc_id bigint, kind string, width int, height int, payload_len int, "
     "n_bytes int, payload_md5 string"
 )
-FRAME_DDL = "doc_id bigint, frame_idx int, frame_md5 string"
+FRAME_DDL = "doc_id bigint, frame_idx int, frame_hex string"
 
 
 def media_dims(doc_id: int) -> tuple[int, int]:
@@ -168,10 +168,13 @@ def sample_frames(media: DataFrame, every_k: int = 3) -> DataFrame:
                         {
                             "doc_id": doc_id,
                             "frame_idx": idx,
-                            "frame_md5": hashlib.md5(frame).hexdigest(),
+                            # hex, not md5: DuckDB cannot slice BLOBs, so the oracle
+                            # reconstructs frames as substr(hex(bytes)) — hex keeps the
+                            # comparison BYTE-exact for any (non-ASCII too) text
+                            "frame_hex": frame.hex().upper(),
                         }
                     )
-            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_md5"])
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_hex"])
 
     return media.filter(F.col("kind") == "video").mapInPandas(
         kernel, schema=FRAME_DDL

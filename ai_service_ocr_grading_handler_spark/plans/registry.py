@@ -821,8 +821,8 @@ from ai_service_ocr_grading_handler_spark.plans import lineage as _lin
            ['image','audio','video'][(doc_id % 3)::int + 1] AS kind,
            (320 + (doc_id % 5) * 16)::int AS width,
            (240 + (doc_id % 3) * 16)::int AS height,
-           length(text)::int AS payload_len,
-           (21 + length(text))::int AS n_bytes,
+           octet_length(encode(text))::int AS payload_len,
+           (21 + octet_length(encode(text)))::int AS n_bytes,
            md5(text) AS payload_md5
     FROM documents ORDER BY doc_id
     """,
@@ -840,16 +840,19 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_frame_sample",
     """
     SELECT d.doc_id, (t.i * 3)::int AS frame_idx,
-           md5(substr(text, t.i * 3 * 64 + 1, 64)) AS frame_md5
+           substr(hex(encode(text)), t.i * 3 * 64 * 2 + 1, 128) AS frame_hex
     FROM documents d, range(0, 64) t(i)
     WHERE d.doc_id % 3 = 2
-      AND t.i * 3 < ceil(length(text) / 64.0)
+      AND t.i * 3 < ceil(octet_length(encode(text)) / 64.0)
     ORDER BY d.doc_id, frame_idx
     """,
 )
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling: every 3rd 64-byte payload slice, hashed —
-    the frame-extraction kernel shape over binary columns."""
+    """Video frame sampling: every 3rd 64-byte payload slice as hex —
+    the frame-extraction kernel shape over binary columns. Hex (not md5)
+    so the DuckDB oracle models BYTES (substr over hex(encode(text))),
+    keeping the value check valid for non-ASCII corpora (blob slicing is
+    not expressible in DuckDB SQL)."""
     media = _mm.media_df(spark, sf_dir)
     return _mm.sample_frames(media, every_k=3).orderBy("doc_id", "frame_idx")
 

@@ -61,3 +61,67 @@ def test_empty_answer_quirk():
     claude = textops.convert_gpt_to_claude(gpt)
     assert claude["messages"][0]["content"][0]["text"] == "No Answer,"  # trailing comma
     assert claude["system"] == "s\n\nr\n\nquestion: q"
+
+
+def test_pystrip_matches_python_strip_on_unicode_whitespace(spark):
+    """Scraped HTML carries non-ASCII whitespace (\xa0 after entity
+    unescape,  /　 in CJK pages); Python's .strip() — the
+    reference semantics in convert_gpt_to_claude's system fold — strips
+    them all, so the Column _pystrip must too (it once covered only the
+    ASCII set and diverged)."""
+    payloads = [
+        "\xa0 nbsp-padded rubric \xa0",
+        " line-sep ",
+        "　ideographic space　",
+        "\t mixed \xa0   end \x85",
+        "no padding at all",
+        "\x1c\x1d\x1e\x1f field separators \x1c",
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "s string")
+    got = [r.out for r in df.select(dialects._pystrip(F.col("s")).alias("out")).collect()]
+    assert got == [p.strip() for p in payloads]
+
+
+def test_vision_dialects_shapes(spark):
+    """Vision request JSON must reproduce the reference's exact shapes
+    (llm_format_convertion.py:108-193): data-url gpt block, raw-answerUrl
+    gpt block, claude base64 source block, gemini number payload."""
+    import base64
+    import json
+
+    df = spark.createDataFrame([(b"\x89PNG fake bytes",)], "img binary")
+    b64 = dialects.b64_canonical(F.col("img"))
+    row = df.select(
+        F.to_json(dialects.gpt_vision_messages(F.lit("SP"), b64)).alias("g"),
+        F.to_json(
+            dialects.gpt_vision_url_messages(
+                F.lit("SP"), F.lit("Q"), F.lit("R, "), F.lit("https://a/1.webp")
+            )
+        ).alias("gu"),
+        F.to_json(dialects.claude_vision_messages(F.lit("SP"), b64)).alias("c"),
+        F.to_json(
+            dialects.gemini_number_payload(b64, F.lit(3).cast("int"))
+        ).alias("n"),
+    ).collect()[0]
+    enc = base64.b64encode(b"\x89PNG fake bytes").decode()
+    assert json.loads(row.g) == [
+        {"role": "user", "content": [
+            {"type": "text", "text": "SP"},
+            {"type": "image_url",
+             "image_url": {"url": f"data:image/webp;base64,{enc}"}},
+        ]}
+    ]
+    assert json.loads(row.gu) == [
+        {"role": "user", "content": [
+            {"type": "text", "text": "SP, Question: Q ,R, "},
+            {"type": "image_url", "image_url": {"url": "https://a/1.webp"}},
+        ]}
+    ]
+    assert json.loads(row.c) == [
+        {"role": "user", "content": [
+            {"type": "text", "text": "SP"},
+            {"type": "image", "source": {
+                "type": "base64", "media_type": "image/webp", "data": enc}},
+        ]}
+    ]
+    assert json.loads(row.n) == {"base64_image": enc, "batch_size": 3}

@@ -74,4 +74,4 @@ def test_frame_sampling_hashes_payload_slices(spark):
         assert r.doc_id % 3 == 2  # only 'video' rows sampled
         payload = docs[r.doc_id].encode()
         frame = payload[r.frame_idx * mm.FRAME_BYTES : (r.frame_idx + 1) * mm.FRAME_BYTES]
-        assert r.frame_md5 == hashlib.md5(frame).hexdigest()
+        assert r.frame_hex == frame.hex().upper()
