@@ -75,3 +75,15 @@ def test_frame_sampling_hashes_payload_slices(spark):
         payload = docs[r.doc_id].encode()
         frame = payload[r.frame_idx * mm.FRAME_BYTES : (r.frame_idx + 1) * mm.FRAME_BYTES]
         assert r.frame_hex == frame.hex().upper()
+
+
+def test_native_synthesis_equals_pack_media(spark):
+    """media_df's native (unhex-header || encode-payload) construction must
+    be BYTE-identical to the Python pack_media reference for every doc."""
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    for r in mm.media_df(spark, SF).collect():
+        kind, blob = mm.pack_media(r.doc_id, docs[r.doc_id])
+        assert (r.kind, bytes(r.media)) == (kind, blob)
