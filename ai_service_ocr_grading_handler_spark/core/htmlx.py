@@ -159,7 +159,9 @@ def segment_blocks(html_text: str) -> list[Block]:
     pos = 0
 
     def flush() -> None:
-        nonlocal runs, n_tags
+        # clears `runs` IN PLACE (not rebinding) so the hot loop's bound
+        # runs.append stays valid; _finish_block only keeps scalars/strings
+        nonlocal n_tags
         if runs:
             b = _finish_block(
                 runs,
@@ -171,23 +173,34 @@ def segment_blocks(html_text: str) -> list[Block]:
             )
             if b is not None:
                 blocks.append(b)
-        runs = []
+            runs.clear()
         n_tags = 0
 
+    # hot loop: ~100 iterations per document across the whole corpus —
+    # locals for every global/attribute reached per iteration, and lower()
+    # only when a tag isn't already lowercase (the overwhelming case), which
+    # skips one string alloc per tag
+    _block_tags = _BLOCK_TAGS
+    _rawtext_tags = _RAWTEXT_TAGS
+    _content_containers = _CONTENT_CONTAINERS
+    _boiler_containers = _BOILER_CONTAINERS
+    _void_tags = _VOID_TAGS
+    runs_append = runs.append
     for m in _TAG_RE.finditer(html_text):
         mstart = m.start()
         if mstart > pos and rawtext_until is None:
-            runs.append((html_text[pos:mstart], in_anchor > 0, pos, mstart))
+            runs_append((html_text[pos:mstart], in_anchor > 0, pos, mstart))
         pos = m.end()
         closing, name, _attrs, _selfclose = m.groups()
         if name is None:
             continue  # comment/doctype/PI
-        name = name.lower()
+        if not name.islower():
+            name = name.lower()
         if rawtext_until is not None:
             if closing and name == rawtext_until:
                 rawtext_until = None
             continue
-        if name in _RAWTEXT_TAGS:
+        if name in _rawtext_tags:
             if not closing:
                 rawtext_until = name
             continue
@@ -198,15 +211,15 @@ def segment_blocks(html_text: str) -> list[Block]:
                 n_tags += 1
                 in_anchor += 1
             continue
-        if name in _BLOCK_TAGS:
+        if name in _block_tags:
             flush()
-            if name in _CONTENT_CONTAINERS:
+            if name in _content_containers:
                 in_article += -1 if closing else 1
                 in_article = max(0, in_article)
-            if name in _BOILER_CONTAINERS:
+            if name in _boiler_containers:
                 in_boiler += -1 if closing else 1
                 in_boiler = max(0, in_boiler)
-            if not closing and name not in _VOID_TAGS:
+            if not closing and name not in _void_tags:
                 kind_stack.append(name)
             elif closing and kind_stack and name in kind_stack:
                 # pop to the matching open tag (tolerant of misnesting)
