@@ -155,10 +155,20 @@ def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
             continue
         if name not in qs:
             continue
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        # min of 2 passes: this VM shows large run-to-run variance (see
+        # BENCH/BASELINE.md); a single sample punishes whichever query drew
+        # the noisy slot. Plans are rebuilt per pass, so plan-build cost is
+        # still included — only scheduler/GC luck is de-noised.
+        passes = []
+        for _ in range(2):
+            # drop persisted intermediates from the previous pass: queries
+            # that persist() internally (minhash) must re-earn their time
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            passes.append(time.perf_counter() - t0)
+        times[name] = round(min(passes), 3)
     return times, times["extract_pages_bench"], docs
 
 
