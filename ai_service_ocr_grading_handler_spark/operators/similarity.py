@@ -141,22 +141,38 @@ NEARDUP_CORPUS_DUCK = """
 
 
 def lsh_neardups(df: DataFrame, threshold: float = 0.9) -> DataFrame:
-    """ANN near-dup pairs: bucket join on the LSH signature, cosine-verify
-    candidates only. At scale this shuffles on bucket keys (tiny) and never
-    materializes the all-pairs cross product."""
+    """ANN near-dup pairs: group by LSH bucket, generate pairs INSIDE each
+    bucket (sorted collect -> i<j struct explode), cosine-verify candidates
+    only.
+
+    One pass over the corpus (the signature fold runs once — a bucket
+    self-join computes it for both sides) and one shuffle on bucket keys;
+    the all-pairs cross product is never materialized. Bucket sizes are
+    bounded by the signature width (16 planes -> 64k buckets); a degenerate
+    hot bucket is the standard LSH skew case — production caps bucket size
+    or adds planes."""
     sigs = df.select("vec_id", "embedding", lsh_bucket_col().alias("bucket"))
-    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = (
+        "flatten(transform(vs, (x, i) ->"
+        " transform(slice(vs, i + 2, size(vs) - i - 1),"
+        " y -> struct(x AS a, y AS b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        sigs.groupBy("bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))
+            ).alias("vs")
         )
+        .filter(F.size("vs") > 1)
+        .select("bucket", F.explode(F.expr(pairs)).alias("p"))
         .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            F.col("a.bucket").alias("bucket"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("cos"),
+            F.col("p.a.vec_id").alias("a_id"),
+            F.col("p.b.vec_id").alias("b_id"),
+            F.col("bucket"),
+            F.round(
+                cosine(F.col("p.a.embedding"), F.col("p.b.embedding")), 4
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
