@@ -136,3 +136,52 @@ def test_failed_run_commits_nothing_then_resumes_cleanly(spark, tmp_path, monkey
     m = lineage.run_extract(spark, pages, out, "run-after-crash")
     assert m["rows_written"] == pages.count()
     assert lineage.verify_table(spark, out)["consistent"]
+
+
+def test_merge_upsert_idempotent_and_crash_atomic(spark, tmp_path):
+    """S12 write-back semantics (database_calling.py:26-35 upsert):
+    (a) matched keys are $set-overwritten, unmatched inserted, untouched
+    rows survive; (b) re-applying the same update is a no-op; (c) a crash
+    AFTER writing a new version but BEFORE the pointer swap leaves readers
+    on the previous committed version (atomic-commit emulation)."""
+    from ai_service_ocr_grading_handler_spark.plans import lineage
+
+    ledger = str(tmp_path / "ledger")
+    seed = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "user_id bigint, credits double"
+    )
+    lineage.merge_upsert(spark, ledger, seed, "user_id")
+    upd = spark.createDataFrame(
+        [(2, 19.5), (4, 40.0)], "user_id bigint, credits double"
+    )
+    out1 = {
+        r.user_id: r.credits
+        for r in lineage.merge_upsert(spark, ledger, upd, "user_id").collect()
+    }
+    assert out1 == {1: 10.0, 2: 19.5, 3: 30.0, 4: 40.0}
+    # (b) idempotent re-apply
+    out2 = {
+        r.user_id: r.credits
+        for r in lineage.merge_upsert(spark, ledger, upd, "user_id").collect()
+    }
+    assert out2 == out1
+    # (c) crash between version write and pointer swap: fabricate an orphan
+    # newer version dir with bogus data and NO pointer update
+    import pathlib
+
+    root = pathlib.Path(ledger)
+    committed = (root / "current").read_text().strip()
+    orphan = root / "v999"
+    bogus = spark.createDataFrame([(2, -1.0)], "user_id bigint, credits double")
+    bogus.write.mode("overwrite").parquet(str(orphan))
+    current = {
+        r.user_id: r.credits
+        for r in spark.read.parquet(str(root / committed)).collect()
+    }
+    assert current == out1  # readers resolve the pointer, never the orphan
+    # and the next merge continues from the committed version
+    out3 = {
+        r.user_id: r.credits
+        for r in lineage.merge_upsert(spark, ledger, upd, "user_id").collect()
+    }
+    assert out3 == out1
