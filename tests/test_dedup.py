@@ -99,3 +99,30 @@ def test_exact_dedup_collapses_planted_copies(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     for r in docs.filter(F.col("doc_id") % 5 == 0).select("doc_id").collect():
         assert by_canonical.get(r.doc_id, 0) >= 2  # original + exact copy
+
+
+def test_decontaminate_drops_benchmark_overlaps(spark):
+    """A train doc containing a benchmark 13-gram verbatim is dropped; docs
+    with shorter or absent overlaps (and short docs) are kept."""
+    bench_passage = " ".join(f"b{i}" for i in range(13))
+    twelve = " ".join(f"b{i}" for i in range(12))  # 12-gram overlap only
+    train = spark.createDataFrame(
+        [
+            (1, "clean doc " + " ".join(f"w{i}" for i in range(30))),
+            (2, f"prefix words {bench_passage} suffix words"),  # contaminated
+            (3, f"prefix {twelve} then diverges completely " + " ".join(f"x{i}" for i in range(10))),
+            (4, "short doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, f"question: {bench_passage} answer: 42")], "doc_id bigint, text string"
+    )
+    kept = sorted(
+        r.doc_id for r in dedup.decontaminate(train, benchmark).collect()
+    )
+    assert kept == [1, 3, 4]
+    # idempotent: decontaminating the survivors drops nothing more
+    survivors = dedup.decontaminate(train, benchmark)
+    again = sorted(r.doc_id for r in dedup.decontaminate(survivors, benchmark).collect())
+    assert again == kept
