@@ -26,7 +26,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _registry.queries()
+    # wrap every query so the session is tuned (UTC timezone, Arrow, AQE)
+    # even when the driver never calls entry() first — timestamp-valued
+    # oracles depend on the UTC session timezone
+    def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        run.__name__ = getattr(fn, "__name__", "query")
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {k: _tuned(v) for k, v in _registry.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
