@@ -126,3 +126,37 @@ def test_decontaminate_drops_benchmark_overlaps(spark):
     survivors = dedup.decontaminate(train, benchmark)
     again = sorted(r.doc_id for r in dedup.decontaminate(survivors, benchmark).collect())
     assert again == kept
+
+
+def test_shingles_expression_matches_python_reference(spark):
+    """The split-hoisted shingle expression must equal the plain-Python
+    definition (ordered distinct word 3-grams) on adversarial inputs:
+    repeated words, multiple spaces (empty tokens!), unicode, exact
+    SHINGLE_N-length docs."""
+    cases = [
+        "a b c d e",
+        "a a a a a a",                      # all-identical shingles collapse
+        "x  y   z w",                       # empty tokens from double spaces
+        "uno dos tres",                     # exactly n words -> one shingle
+        "héllo wörld ünïcode tèxt",
+        "t1 t2 t3 t1 t2 t3 t1 t2 t3",       # periodic -> few distinct
+        "",
+        " leading and trailing ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "doc_id bigint, text string")
+    got = {r.doc_id: list(r.sh) for r in df.select("doc_id", dedup.shingles_col().alias("sh")).collect()}
+
+    def py_shingles(text: str, n: int = dedup.SHINGLE_N) -> list[str]:
+        ws = text.split(" ")
+        if len(ws) < n:
+            return []
+        out, seen = [], set()
+        for i in range(len(ws) - n + 1):
+            s = " ".join(ws[i : i + n])
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+
+    for i, t in enumerate(cases):
+        assert got[i] == py_shingles(t), f"case {i!r}: {got[i]} != {py_shingles(t)}"
