@@ -135,6 +135,76 @@ def duck_quality_exprs(col: str = "text") -> dict[str, str]:
     }
 
 
+# --- repetition filters (Gopher) ------------------------------------------------
+# "fraction of text in the most common n-gram" gates: a spammy page repeats
+# one word/phrase. Computed as the LONGEST EQUAL RUN of the sorted n-gram
+# array over its length — a single per-row fold (grouping equal values is
+# all the sort must do, so Spark/DuckDB collation differences can't matter).
+
+_BIGRAMS_SPARK = (
+    "flatten(transform(array(split({t}, ' ')), ws ->"
+    " CASE WHEN size(ws) < 2 THEN cast(array() as array<string>)"
+    " ELSE transform(sequence(1, size(ws) - 1),"
+    " i -> concat_ws(' ', slice(ws, i, 2))) END))"
+)
+_BIGRAMS_DUCK = (
+    "list_transform(range(0, len(string_split({t}, ' ')) - 1),"
+    " i -> array_to_string(list_slice(string_split({t}, ' '), i + 1, i + 2), ' '))"
+)
+
+
+def _top_run_ratio_spark(arr: str) -> str:
+    """max equal-run length of sorted `arr` / size(arr), 0.0 when empty."""
+    structs = (
+        f"transform(array_sort({arr}),"
+        " w -> struct(w AS prev, 1L AS run, 1L AS best))"
+    )
+    folded = (
+        f"aggregate({structs}, struct('' AS prev, 0L AS run, 0L AS best),"
+        " (acc, x) -> struct(x.prev AS prev,"
+        " IF(x.prev = acc.prev, acc.run + 1, 1L) AS run,"
+        " greatest(acc.best, IF(x.prev = acc.prev, acc.run + 1, 1L)) AS best))"
+    )
+    return (
+        f"CASE WHEN size({arr}) = 0 THEN 0.0D"
+        f" ELSE ({folded}).best / size({arr}) END"
+    )
+
+
+def _top_run_ratio_duck(arr: str) -> str:
+    # an INDEPENDENT derivation (correlated unnest -> GROUP BY -> max count)
+    # rather than a port of the Spark fold: a DuckDB struct-literal lambda
+    # resolves `acc.run` inside the 'best' field to the just-computed 'run'
+    # field (name shadowing), so the fold form silently overcounts there
+    return (
+        f"CASE WHEN len({arr}) = 0 THEN 0.0"
+        f" ELSE (SELECT max(c) FROM (SELECT count(*) AS c"
+        f" FROM unnest({arr}) AS u(g) GROUP BY g)) / len({arr}) END"
+    )
+
+
+def top_word_ratio(text_col: str = "text") -> Column:
+    """Gopher repetition gate input: most-common word count / word count."""
+    return F.round(
+        F.expr(_top_run_ratio_spark(f"split({text_col}, ' ')")), 4
+    )
+
+
+def top_bigram_ratio(text_col: str = "text") -> Column:
+    """Gopher repetition gate input: most-common 2-gram count / 2-gram count."""
+    return F.round(
+        F.expr(_top_run_ratio_spark(_BIGRAMS_SPARK.format(t=text_col))), 4
+    )
+
+
+def duck_top_word_ratio(col: str = "text") -> str:
+    return f"round({_top_run_ratio_duck(f'string_split({col}, chr(32))')}, 4)"
+
+
+def duck_top_bigram_ratio(col: str = "text") -> str:
+    return f"round({_top_run_ratio_duck(_BIGRAMS_DUCK.format(t=col))}, 4)"
+
+
 def bpe_token_count(text_col: str = "text") -> Column:
     """Tokenizer-style token count: length of the BPE-ish pre-token split."""
     return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0))

@@ -764,20 +764,29 @@ _QD = _tq.duck_quality_exprs("text")
            {_QD['mean_word_len']} AS mean_word_len,
            {_QD['punct_ratio']} AS punct_ratio,
            {_QD['stopword_ratio']} AS stopword_ratio,
+           {_tq.duck_top_word_ratio('text')} AS top_word_ratio,
+           {_tq.duck_top_bigram_ratio('text')} AS top_bigram_ratio,
            {_QD['quality']} AS quality
     FROM documents ORDER BY doc_id
     """,
 )
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style quality gates PLUS heuristic language ID (CJK script
-    regex, then stopword-hit argmax) as native columns — one projection,
-    runs at scan speed (the fixture corpus exercises the CJK branch)."""
+    regex, then stopword-hit argmax) PLUS the Gopher repetition gate inputs
+    (most-common word / 2-gram fractions, longest-run folds over sorted
+    n-gram arrays) as native columns — one projection, runs at scan speed
+    (the fixture corpus exercises the CJK branch)."""
     docs = _t(spark, sf_dir, "documents")
     qs = _tq.quality_score("text")
+    cols = [v.alias(k) for k, v in qs.items()]
+    # keep `quality` the last column, matching the oracle's order
     return docs.select(
         "doc_id",
         _tq.lang_id("text").alias("lang_pred"),
-        *[v.alias(k) for k, v in qs.items()],
+        *cols[:-1],
+        _tq.top_word_ratio("text").alias("top_word_ratio"),
+        _tq.top_bigram_ratio("text").alias("top_bigram_ratio"),
+        cols[-1],
     ).orderBy("doc_id")
 
 

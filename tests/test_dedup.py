@@ -160,3 +160,35 @@ def test_shingles_expression_matches_python_reference(spark):
 
     for i, t in enumerate(cases):
         assert got[i] == py_shingles(t), f"case {i!r}: {got[i]} != {py_shingles(t)}"
+
+
+def test_repetition_ratios_match_python_reference(spark):
+    """Gopher repetition gates: the Spark longest-run fold must equal the
+    counting definition (most-common n-gram count / n-gram count); the
+    DuckDB oracle derives the same number via unnest+GROUP BY, so the two
+    engines cross-check through independent algorithms."""
+    from collections import Counter
+
+    cases = [
+        "a b a b c a x",
+        "spam spam spam spam",
+        "w1 w2 w3 w4 w5 w6",
+        "one",
+        "",
+        "x y x y x y x y",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.twr, r.tbr)
+        for r in df.select(
+            "doc_id",
+            textquality.top_word_ratio("text").alias("twr"),
+            textquality.top_bigram_ratio("text").alias("tbr"),
+        ).collect()
+    }
+    for i, t in enumerate(cases):
+        ws = t.split(" ")
+        want_w = round(max(Counter(ws).values()) / len(ws), 4)
+        bgs = [" ".join(ws[j : j + 2]) for j in range(len(ws) - 1)]
+        want_b = round(max(Counter(bgs).values()) / len(bgs), 4) if bgs else 0.0
+        assert got[i] == (want_w, want_b), f"case {i!r}: {got[i]} != {(want_w, want_b)}"
