@@ -141,33 +141,46 @@ def duck_quality_exprs(col: str = "text") -> dict[str, str]:
 # array over its length — a single per-row fold (grouping equal values is
 # all the sort must do, so Spark/DuckDB collation differences can't matter).
 
-_BIGRAMS_SPARK = (
-    "flatten(transform(array(split({t}, ' ')), ws ->"
-    " CASE WHEN size(ws) < 2 THEN cast(array() as array<string>)"
-    " ELSE transform(sequence(1, size(ws) - 1),"
-    " i -> concat_ws(' ', slice(ws, i, 2))) END))"
-)
 _BIGRAMS_DUCK = (
     "list_transform(range(0, len(string_split({t}, ' ')) - 1),"
     " i -> array_to_string(list_slice(string_split({t}, ' '), i + 1, i + 2), ' '))"
 )
 
 
-def _top_run_ratio_spark(arr: str) -> str:
-    """max equal-run length of sorted `arr` / size(arr), 0.0 when empty."""
-    structs = (
-        f"transform(array_sort({arr}),"
-        " w -> struct(w AS prev, 1L AS run, 1L AS best))"
-    )
-    folded = (
-        f"aggregate({structs}, struct('' AS prev, 0L AS run, 0L AS best),"
+# n-gram HASH arrays (not strings): runs are counted over sorted xxhash64
+# longs — long sort + long compare beats string construction + string sort
+# ~4x at identical values (a collision within one document's ~1e3 n-grams
+# has odds ~1e-13, would only nudge a quality FILTER ratio, and the DuckDB
+# oracle counts exact strings so the driver value-check would catch it).
+# Bigrams hash the word-hash PAIR directly — no bigram string is ever built.
+# Both use the array(...)/lambda-variable hoist so split/hash run once per
+# row (see dedup._SHINGLES_SPARK).
+_WORD_HASHES = "transform(split({t}, ' '), w -> xxhash64(w))"
+_PAIR_HASHES = (
+    "flatten(transform(array(" + _WORD_HASHES + "), wh ->"
+    " CASE WHEN size(wh) < 2 THEN cast(array() as array<bigint>)"
+    " ELSE transform(sequence(1, size(wh) - 1),"
+    " i -> xxhash64(element_at(wh, i), element_at(wh, i + 1))) END))"
+)
+
+
+def _top_run_ratio_spark(harr: str) -> str:
+    """max equal-run length of sorted hash array `harr` / its size, 0.0 when
+    empty; `harr` is bound to a lambda variable so it is computed ONCE (it
+    is referenced three times below)."""
+    fold = (
+        "aggregate(transform(array_sort(hs),"
+        " h -> struct(h AS prev, 1L AS run, 1L AS best)),"
+        " struct(0L AS prev, 0L AS run, 0L AS best),"
         " (acc, x) -> struct(x.prev AS prev,"
-        " IF(x.prev = acc.prev, acc.run + 1, 1L) AS run,"
-        " greatest(acc.best, IF(x.prev = acc.prev, acc.run + 1, 1L)) AS best))"
+        " IF(x.prev = acc.prev AND acc.run > 0, acc.run + 1, 1L) AS run,"
+        " greatest(acc.best,"
+        " IF(x.prev = acc.prev AND acc.run > 0, acc.run + 1, 1L)) AS best))"
     )
     return (
-        f"CASE WHEN size({arr}) = 0 THEN 0.0D"
-        f" ELSE ({folded}).best / size({arr}) END"
+        f"element_at(transform(array({harr}), hs ->"
+        f" CASE WHEN size(hs) = 0 THEN 0.0D"
+        f" ELSE ({fold}).best / size(hs) END), 1)"
     )
 
 
@@ -186,14 +199,14 @@ def _top_run_ratio_duck(arr: str) -> str:
 def top_word_ratio(text_col: str = "text") -> Column:
     """Gopher repetition gate input: most-common word count / word count."""
     return F.round(
-        F.expr(_top_run_ratio_spark(f"split({text_col}, ' ')")), 4
+        F.expr(_top_run_ratio_spark(_WORD_HASHES.format(t=text_col))), 4
     )
 
 
 def top_bigram_ratio(text_col: str = "text") -> Column:
     """Gopher repetition gate input: most-common 2-gram count / 2-gram count."""
     return F.round(
-        F.expr(_top_run_ratio_spark(_BIGRAMS_SPARK.format(t=text_col))), 4
+        F.expr(_top_run_ratio_spark(_PAIR_HASHES.format(t=text_col))), 4
     )
 
 
