@@ -95,3 +95,22 @@ def test_broadcast_joins_where_intended(spark):
         df = registry.queries()[name](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+
+
+def test_simhash_signature_computed_once(spark):
+    """The per-word-md5 + 60-vote signature fold is the dominant cost of
+    simhash_neardup_pairs; the old bands-self-join form planned ZERO
+    ReusedExchange, silently running it once per join side. The in-bucket
+    pair form must keep exactly one signature pipeline in the plan (tested
+    on a plain one-branch frame; the registry corpus unions 3 variant
+    branches, which legitimately repeat the word-hash per branch)."""
+    from ai_service_ocr_grading_handler_spark.operators.dedup import simhash_neardup_pairs
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = (
+        simhash_neardup_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("md5") == 1, (
+        f"signature pipeline appears {plan.count('md5')}x (expected once) — "
+        "a self-join without exchange reuse doubles the dominant cost"
+    )
