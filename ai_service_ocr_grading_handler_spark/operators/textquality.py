@@ -218,6 +218,66 @@ def duck_top_bigram_ratio(col: str = "text") -> str:
     return f"round({_top_run_ratio_duck(_BIGRAMS_DUCK.format(t=col))}, 4)"
 
 
+def quality_row(text_col: str = "text") -> Column:
+    """ALL doc-quality outputs (lang_pred, n_words, mean_word_len,
+    punct_ratio, stopword_ratio, top_word_ratio, top_bigram_ratio, quality)
+    as ONE struct column, for use under a single ``F.inline(F.array(...))``
+    generator.
+
+    Why not the column-per-feature form (`lang_id` + `quality_score`, kept
+    for composability/tests): inside one Project, every stopword-hit and the
+    greatest() argmax chain re-derive split()/array_distinct() — the naive
+    doc_quality plan evaluated split() 49x PER ROW (measured). Here the word
+    array, distinct-word array, per-language hits, punct ratio and argmax
+    are each bound once via the array()/lambda hoist, and inline() emits the
+    struct fields as columns through a Generate node, which CollapseProject
+    cannot merge into (a plain struct-unpack Project would re-inline the
+    whole expression once per field). Values are identical to the
+    column-per-feature form — same DuckDB oracle."""
+    t = text_col
+    hits_fields = ", ".join(
+        f"'{lg}', size(array_intersect(dw, array({', '.join(repr(w) for w in STOPWORDS[lg])})))"
+        for lg in LANG_PREFERENCE
+    )
+    chain = "'und'"
+    for lg in reversed(LANG_PREFERENCE):
+        chain = f"CASE WHEN h.{lg} = best AND best > 0 THEN '{lg}' ELSE {chain} END"
+    cjk_sql = _CJK_SPARK.replace("\\", "\\\\")
+    best = "greatest(" + ", ".join(f"h.{lg}" for lg in LANG_PREFERENCE) + ")"
+    mean_wl = f"(length({t}) - (size(ws) - 1)) / size(ws)"
+    # word/bigram hash arrays rebound to the already-split `ws`
+    wh_ws = "transform(ws, w -> xxhash64(w))"
+    pair_ws = (
+        "flatten(transform(array(" + wh_ws + "), wh ->"
+        " CASE WHEN size(wh) < 2 THEN cast(array() as array<bigint>)"
+        " ELSE transform(sequence(1, size(wh) - 1),"
+        " i -> xxhash64(element_at(wh, i), element_at(wh, i + 1))) END))"
+    )
+    quality = (
+        f"CASE WHEN size(ws) < 5 OR size(ws) > 10000 THEN 0.0D"
+        f" WHEN {mean_wl} < 2 THEN 0.1D"
+        f" WHEN h.pr > 0.2D THEN 0.2D"
+        f" ELSE least(1.0D, 0.5D + h.en / size(dw)"
+        f" + 0.25D * cast(h.pr > 0 as double)) END"
+    )
+    return F.expr(
+        f"element_at(transform(array(split({t}, ' ')), ws ->"
+        f" element_at(transform(array(array_distinct(ws)), dw ->"
+        f" element_at(transform(array(named_struct({hits_fields},"
+        f" 'pr', length(regexp_replace({t}, '[^.,;:!?]', '')) / length({t}))), h ->"
+        f" element_at(transform(array({best}), best ->"
+        f" named_struct("
+        f" 'lang_pred', CASE WHEN {t} rlike '{cjk_sql}' THEN 'cjk' ELSE {chain} END,"
+        f" 'n_words', size(ws),"
+        f" 'mean_word_len', round({mean_wl}, 4),"
+        f" 'punct_ratio', round(h.pr, 4),"
+        f" 'stopword_ratio', round(h.en / size(dw), 4),"
+        f" 'top_word_ratio', round({_top_run_ratio_spark(wh_ws)}, 4),"
+        f" 'top_bigram_ratio', round({_top_run_ratio_spark(pair_ws)}, 4),"
+        f" 'quality', round({quality}, 4))), 1)), 1)), 1)), 1)"
+    )
+
+
 def bpe_token_count(text_col: str = "text") -> Column:
     """Tokenizer-style token count: length of the BPE-ish pre-token split."""
     return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0))

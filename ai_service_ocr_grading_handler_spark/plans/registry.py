@@ -774,19 +774,12 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style quality gates PLUS heuristic language ID (CJK script
     regex, then stopword-hit argmax) PLUS the Gopher repetition gate inputs
     (most-common word / 2-gram fractions, longest-run folds over sorted
-    n-gram arrays) as native columns — one projection, runs at scan speed
-    (the fixture corpus exercises the CJK branch)."""
+    n-gram arrays) — one single-pass struct through inline() (the
+    column-per-feature form evaluated split() 49x per row; see
+    textquality.quality_row), runs at scan speed."""
     docs = _t(spark, sf_dir, "documents")
-    qs = _tq.quality_score("text")
-    cols = [v.alias(k) for k, v in qs.items()]
-    # keep `quality` the last column, matching the oracle's order
     return docs.select(
-        "doc_id",
-        _tq.lang_id("text").alias("lang_pred"),
-        *cols[:-1],
-        _tq.top_word_ratio("text").alias("top_word_ratio"),
-        _tq.top_bigram_ratio("text").alias("top_bigram_ratio"),
-        cols[-1],
+        "doc_id", F.inline(F.array(_tq.quality_row("text")))
     ).orderBy("doc_id")
 
 
