@@ -1931,13 +1931,23 @@ def q_message_dialects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
     )
     gpt = _dlx.gpt_messages(sp, rubric, q6, a8)
-    return docs.select(
-        "doc_id",
-        F.to_json(gpt).alias("gpt_json"),
-        F.to_json(_dlx.to_claude(gpt)).alias("claude_json"),
-        F.to_json(_dlx.to_gemini(gpt)).alias("gemini_json"),
-        F.to_json(_dlx.to_llama(gpt)).alias("llama_json"),
-    ).orderBy("doc_id")
+    # bind the gpt message array ONCE per row (lambda hoist + one inline()
+    # generator): referenced directly in four to_json conversions,
+    # CollapseProject re-inlines its splits into each — 21 split() per row
+    # in the executed plan (see doc_quality for the same disease)
+    row = F.element_at(
+        F.transform(
+            F.array(gpt),
+            lambda g: F.struct(
+                F.to_json(g).alias("gpt_json"),
+                F.to_json(_dlx.to_claude(g)).alias("claude_json"),
+                F.to_json(_dlx.to_gemini(g)).alias("gemini_json"),
+                F.to_json(_dlx.to_llama(g)).alias("llama_json"),
+            ),
+        ),
+        1,
+    )
+    return docs.select("doc_id", F.inline(F.array(row))).orderBy("doc_id")
 
 
 _B64_DUCK = "to_base64(encode(substr(text, 1, 96)))"
