@@ -32,13 +32,22 @@ EMB_DIM = 64
 LSH_PLANES = 16
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Σ a[i]*b[i] in float64, index order (native fold, no UDF)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _dot(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
+    """Σ a[i]*b[i] in float64, index order.
+
+    Flat left-associated term sum, not a zip_with/aggregate fold:
+    higher-order-function lambdas are interpreted per element (the fold
+    form measured ~3.4 s per million element-ops; this codegen form is
+    milliseconds after a one-time Janino compile). 0.0 + t0 == t0 and the
+    same add order keep every double bit-identical to the fold, so ranks
+    and the DuckDB oracle are unchanged."""
+    acc: Column | None = None
+    for i in range(dim):
+        t = F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast(
+            "double"
+        )
+        acc = t if acc is None else acc + t
+    return acc
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -97,7 +106,17 @@ _SIGN_DUCK = "(CASE WHEN (({p}*97 + d*31 + ({p}*d) % 7) % 2) = 0 THEN 1.0 ELSE -
 
 
 def lsh_bucket_col(emb_col: str = "embedding", planes: int = LSH_PLANES) -> Column:
-    """P-bit signature: bit p = sign(Σ_d emb[d] * s(p,d)) — per-row fold."""
+    """P-bit signature: bit p = sign(Σ_d emb[d] * s(p,d)) — per-row fold.
+
+    Deliberately the fold form, NOT the flat ±term form used by _dot: a
+    16-plane x 64-dim flat expression is a single 1024-term tree that
+    overflows Janino's 64 KB method limit; the compile-then-fallback retry
+    costs ~5 s and — depending on the surrounding stage shape — is NOT
+    reliably cached across executions (measured: 3.0 s steady at sf0.1 but
+    6.0 s min-of-2 at sf0.01, i.e. every pass re-paid the failed compile).
+    The fold compiles to a few hundred bytes and its interpreted
+    per-element cost is bounded by the corpus's embedding width. Keep flat
+    forms for expressions <= ~200 terms (see _dot)."""
     terms = " + ".join(
         (
             "(CASE WHEN aggregate(zip_with({e}, sequence(0, size({e}) - 1),"
@@ -194,7 +213,16 @@ _CENTROID_DUCK = "(((({c}*31 + d*17 + ({c}*d) % 13) % 7) - 3) / 3.0)"
 
 
 def ivf_dots_col(emb_col: str = "embedding") -> Column:
-    """Array of K centroid dot products (native folds)."""
+    """Array of K centroid dot products (native folds).
+
+    Deliberately NOT the flat-term form used by _dot/lsh_bucket_col: all K
+    dots live in ONE CreateArray expression (16 x 64 = 1024 terms), which
+    (a) overflows Janino's 64 KB method limit — the compile-retry OOMs a
+    default-1g driver JVM (the external harness's session!) — and (b) gets
+    re-inlined into the parquet scan filter by the inferred
+    isnotnull(cell) pushdown, tripling the blowup. The fold form compiles
+    to a few hundred bytes; its interpreted per-element cost is acceptable
+    because IVF probes touch a bounded query set, never the full corpus."""
     dots = [
         (
             "aggregate(zip_with({e}, sequence(0, size({e}) - 1),"
