@@ -192,3 +192,86 @@ def test_repetition_ratios_match_python_reference(spark):
         bgs = [" ".join(ws[j : j + 2]) for j in range(len(ws) - 1)]
         want_b = round(max(Counter(bgs).values()) / len(bgs), 4) if bgs else 0.0
         assert got[i] == (want_w, want_b), f"case {i!r}: {got[i]} != {(want_w, want_b)}"
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    """Dolma-style paragraph dedup: a paragraph repeated across documents
+    survives only at its first (doc_id, idx) occurrence; unique paragraphs
+    are untouched; a fully-duplicated document comes back empty. Verified
+    against an independent DuckDB window-function derivation."""
+    import duckdb
+
+    rows = [
+        (1, "alpha beta\n\nshared boilerplate para\n\ngamma delta"),
+        (2, "shared boilerplate para\n\nunique two"),
+        (3, "shared boilerplate para"),
+        (4, "alone here"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r.dedup_text
+        for r in dedup.paragraph_dedup(df).collect()
+    }
+    assert got[1] == "alpha beta\n\nshared boilerplate para\n\ngamma delta"
+    assert got[2] == "unique two"
+    assert got[3] == ""
+    assert got[4] == "alone here"
+    assert got[5] == ""
+    # independent oracle: row_number over (paragraph hash) in (doc, idx) order
+    con = duckdb.connect()
+    con.execute("create table docs (doc_id bigint, text varchar)")
+    con.executemany("insert into docs values (?, ?)", rows)
+    want = dict(
+        con.execute(
+            """
+            WITH paras AS (
+              SELECT doc_id, u.idx, u.para FROM docs,
+                LATERAL (SELECT unnest(string_split(text, chr(10)||chr(10))) AS para,
+                                generate_subscripts(string_split(text, chr(10)||chr(10)), 1) AS idx) u
+              WHERE trim(u.para) <> ''
+            ),
+            ranked AS (
+              SELECT doc_id, idx, para,
+                     row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn
+              FROM paras
+            )
+            SELECT d.doc_id,
+                   coalesce(string_agg(r.para, chr(10)||chr(10) ORDER BY r.idx), '') AS dedup_text
+            FROM docs d LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1
+            GROUP BY d.doc_id
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_pii_redact_matches_duckdb(spark):
+    """Email/IP/phone scrub parity between the Spark regexp chain and its
+    DuckDB twin, plus the exact placeholder semantics."""
+    import duckdb
+
+    rows = [
+        (1, "contact bob.smith+spam@example.co.uk or call +1 (415) 555-0132 now"),
+        (2, "server at 192.168.0.1 responded; backup 10.0.0.255 down"),
+        (3, "no pii here, just words and 42 numbers"),
+        (4, "a@b.io x 12345678901 y 1.2.3.4"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r.clean
+        for r in df.select("doc_id", dedup.pii_redact("text").alias("clean")).collect()
+    }
+    assert "<EMAIL>" in got[1] and "<PHONE>" in got[1]
+    assert got[2].count("<IP>") == 2
+    assert got[3] == rows[2][1]
+    con = duckdb.connect()
+    con.execute("create table docs (doc_id bigint, text varchar)")
+    con.executemany("insert into docs values (?, ?)", rows)
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {dedup.pii_redact_duck('text')} FROM docs"
+        ).fetchall()
+    )
+    assert got == want
