@@ -37,6 +37,10 @@ _LAZY = {
         "ai_service_ocr_grading_handler_spark.plans.lineage",
         "salted_repartition",
     ),
+    "curate_corpus": (
+        "ai_service_ocr_grading_handler_spark.operators.curation",
+        "curate_corpus",
+    ),
     "read_pages": ("ai_service_ocr_grading_handler_spark.sources.pages", "read_pages"),
     "write_pages_partitioned": (
         "ai_service_ocr_grading_handler_spark.sources.pages",

@@ -1,0 +1,156 @@
+"""End-to-end corpus curation: the composition layer over the tier
+operators (quality gates, PII scrub, intra-doc line dedup, exact +
+paragraph dedup, benchmark decontamination) plus the URL-level operators
+the pages corpus needs (canonicalization, URL dedup).
+
+This is the module a pipeline author actually calls: each stage is an
+individually-oracled operator elsewhere (see COVERAGE.md tier table); here
+they are chained in the order the public curation recipes (C4, Gopher,
+CCNet, Dolma, RefinedWeb) apply them, with the plan shape annotated per
+stage. Everything is deterministic, so a resumed run curates identically.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ai_service_ocr_grading_handler_spark.operators import dedup as _dd
+
+# --- URL canonicalization + dedup (RefinedWeb-style) ---------------------------
+#
+# Aggressive canonical form: lowercase scheme+host, strip fragment AND query,
+# strip a trailing slash. This is the dedup key form (RefinedWeb dedupes by
+# normalized URL before content dedup) — NOT a safe rewrite for fetching,
+# since dropping the query can merge distinct resources; that is the point
+# for dedup and documented here so nobody fetches with it.
+
+
+def canonical_url(url_col: str = "url") -> Column:
+    """Canonical URL dedup key — pure RE2-safe regexp chain, scan-speed."""
+    u = F.col(url_col)
+    u = F.regexp_replace(u, "[#?].*$", "")  # fragment + query
+    u = F.regexp_replace(u, "/$", "")  # trailing slash
+    # lowercase ONLY the scheme://host prefix; paths stay case-sensitive
+    prefix = F.lower(F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", 0))
+    rest = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
+    return F.when(prefix == "", u).otherwise(F.concat(prefix, rest))
+
+
+def canonical_url_duck(col: str = "url") -> str:
+    """DuckDB twin of canonical_url (same RE2 patterns)."""
+    u = f"regexp_replace(regexp_replace({col}, '[#?].*$', ''), '/$', '')"
+    prefix = f"lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', 0))"
+    rest = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '')"
+    return f"CASE WHEN {prefix} = '' THEN {u} ELSE {prefix} || {rest} END"
+
+
+def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """One row per canonical URL: min original URL is the deterministic
+    canonical row (one shuffle on the canonical key — the same shape as
+    exact_dedup, run FIRST in a crawl pipeline because it is the cheapest
+    key: no text ever crosses the shuffle)."""
+    return (
+        df.groupBy(canonical_url(url_col).alias("canonical_url"))
+        .agg(
+            F.min(url_col).alias("keeper_url"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )
+
+
+# --- intra-document line dedup (Dolma's within-doc pass) -----------------------
+
+
+def line_dedup_on(col: Column) -> Column:
+    """Drop repeated lines WITHIN a document, keeping first occurrences in
+    order — a pure per-row expression (zero shuffle): a line survives iff
+    its 1-based first occurrence (array_position) is its own position.
+    O(lines²) per row worst-case, bounded by document size. The input
+    column and its split are each bound once (array()/lambda hoist, see
+    _SHINGLES_SPARK) so an expensive upstream rewrite — e.g. the PII
+    scrub — evaluates once, not once per line."""
+    return F.element_at(
+        F.transform(
+            F.array(F.split(col, "\n")),
+            lambda ls: F.array_join(
+                F.transform(
+                    F.filter(
+                        F.sequence(F.lit(1), F.size(ls)),
+                        lambda i: F.array_position(ls, F.element_at(ls, i)) == i,
+                    ),
+                    lambda i: F.element_at(ls, i),
+                ),
+                "\n",
+            ),
+        ),
+        1,
+    )
+
+
+def line_dedup(text_col: str = "text") -> Column:
+    """line_dedup_on over a named column."""
+    return line_dedup_on(F.col(text_col))
+
+
+def line_dedup_duck(col: str = "text") -> str:
+    """DuckDB twin of line_dedup (list_position = first occurrence)."""
+    return (
+        "array_to_string(list_transform(list_filter("
+        f" range(1, len(string_split({col}, chr(10))) + 1),"
+        f" i -> list_position(string_split({col}, chr(10)),"
+        f" string_split({col}, chr(10))[i]) = i),"
+        f" i -> string_split({col}, chr(10))[i]), chr(10))"
+    )
+
+
+# --- the composite pipeline ----------------------------------------------------
+
+
+def curate_corpus(
+    df: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    max_words: int = 10000,
+) -> DataFrame:
+    """Full curation pass in the order the public recipes compose:
+
+    1. length gate (Gopher)            — scan-speed filter, pushes to scan
+    2. PII scrub (C4/Dolma)            — regexp chain, scan-speed
+    3. intra-doc line dedup (Dolma)    — per-row expression, zero shuffle
+    4. exact dedup (everyone)          — one shuffle on md5(text); only the
+       deterministic canonical row (min id per hash) survives
+    5. paragraph-level dedup (Dolma)   — one shuffle on paragraph hash +
+       one reassembly groupBy
+    6. benchmark decontamination       — broadcast anti-join, zero corpus
+       (GPT-3/C4; optional)              shuffle
+
+    Returns (id, text) with text rewritten by stages 2/3/5. Deterministic
+    end-to-end: re-running on the same input yields byte-identical output
+    (tested), which is what makes a resumed curation run safe.
+
+    Order rationale: text-rewriting stages run BEFORE the content hashes
+    so duplicates of the same page differing only in PII/noise dedup
+    together; URL dedup (url_dedup) belongs even earlier, in the crawl
+    layer, where a text column does not exist yet.
+    """
+    ws = F.size(F.split(F.col(text_col), " "))
+    gated = df.filter((ws >= min_words) & (ws <= max_words))
+    scrubbed = gated.select(
+        F.col(id_col),
+        line_dedup_on(_dd.pii_redact(text_col)).alias(text_col),
+    )
+    canon = (
+        _dd.exact_dedup(scrubbed, text_col, id_col)
+        .select(F.col("canonical_id").alias(id_col))
+    )
+    unique = scrubbed.join(canon, id_col, "left_semi")
+    para = _dd.paragraph_dedup(unique, text_col, id_col).select(
+        F.col(id_col), F.col("dedup_text").alias(text_col)
+    )
+    out = para.filter(F.col(text_col) != "")
+    if benchmark is not None:
+        out = _dd.decontaminate(out, benchmark, text_col, id_col)
+    return out

@@ -1,0 +1,136 @@
+"""Curation layer: URL canonicalization/dedup parity, intra-doc line dedup
+parity, and the end-to-end curate_corpus composite (stage semantics +
+determinism/idempotency)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from ai_service_ocr_grading_handler_spark.operators import curation
+
+
+def test_canonical_url_matches_duckdb(spark):
+    rows = [
+        (1, "HTTPS://Example.COM/Path/Page?utm=x#frag"),
+        (2, "https://example.com/Path/Page"),
+        (3, "http://example.com/"),
+        (4, "http://example.com"),
+        (5, "ftp://Mixed.Case.Host/KeepCase/"),
+        (6, "no-scheme/just/a/path?q=1"),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = {
+        r.doc_id: r.c
+        for r in df.select(
+            "doc_id", curation.canonical_url("url").alias("c")
+        ).collect()
+    }
+    # fragment+query dropped, host lowercased, path case kept, trailing / gone
+    assert got[1] == "https://example.com/Path/Page" == got[2]
+    assert got[3] == "http://example.com" == got[4]
+    assert got[5] == "ftp://mixed.case.host/KeepCase"
+    assert got[6] == "no-scheme/just/a/path"
+    con = duckdb.connect()
+    con.execute("create table u (doc_id bigint, url varchar)")
+    con.executemany("insert into u values (?, ?)", rows)
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {curation.canonical_url_duck('url')} FROM u"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_url_dedup_groups_variants(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://A.com/x?q=1"),
+            (2, "https://a.com/x#top"),
+            (3, "https://a.com/x/"),
+            (4, "https://a.com/y"),
+        ],
+        "doc_id bigint, url string",
+    )
+    got = {
+        r.canonical_url: (r.keeper_url, r.n_variants)
+        for r in curation.url_dedup(df).collect()
+    }
+    assert got["https://a.com/x"] == ("https://A.com/x?q=1", 3)
+    assert got["https://a.com/y"] == ("https://a.com/y", 1)
+
+
+def test_line_dedup_matches_duckdb(spark):
+    rows = [
+        (1, "keep\ndup\ndup\nother\nkeep"),
+        (2, "single"),
+        (3, ""),
+        (4, "a\na\na\na"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r.t
+        for r in df.select(
+            "doc_id", curation.line_dedup("text").alias("t")
+        ).collect()
+    }
+    assert got[1] == "keep\ndup\nother"
+    assert got[2] == "single"
+    assert got[3] == ""
+    assert got[4] == "a"
+    con = duckdb.connect()
+    con.execute("create table d (doc_id bigint, text varchar)")
+    con.executemany("insert into d values (?, ?)", rows)
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {curation.line_dedup_duck('text')} FROM d"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def _toy_corpus(spark):
+    return spark.createDataFrame(
+        [
+            # survives every stage, pii rewritten, repeated line collapsed
+            (1, "mail me at a@b.io for details\nmail me at a@b.io for details\nsecond paragraph stays intact here"),
+            # exact duplicate of doc 1 AFTER the pii scrub + line dedup -> deduped away
+            (2, "mail me at z@q.org for details\nmail me at z@q.org for details\nsecond paragraph stays intact here"),
+            # too short -> length gate
+            (3, "tiny doc"),
+            # unique paragraph + a paragraph already owned by doc 1 (post-rewrite)
+            (4, "a genuinely new paragraph of words\n\nmail me at <EMAIL> for details\nsecond paragraph stays intact here"),
+            # contaminated with the benchmark 13-gram
+            (5, "x " * 2 + "one two three four five six seven eight nine ten eleven twelve thirteen"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_curate_corpus_stage_semantics(spark):
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine ten eleven twelve thirteen")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in curation.curate_corpus(_toy_corpus(spark), benchmark=bench).collect()
+    }
+    # doc 3: length-gated; doc 2: exact dup of doc 1 post-rewrite; doc 5: decontaminated
+    assert set(out) == {1, 4}
+    assert out[1] == "mail me at <EMAIL> for details\nsecond paragraph stays intact here"
+    # doc 4 keeps only its novel paragraph (the other belongs to doc 1)
+    assert out[4] == "a genuinely new paragraph of words"
+
+
+def test_curate_corpus_is_deterministic_and_idempotent(spark):
+    df = _toy_corpus(spark)
+    once = sorted(curation.curate_corpus(df).collect())
+    again = sorted(curation.curate_corpus(df).collect())
+    assert once == again
+    # curating an already-curated corpus changes nothing
+    curated = curation.curate_corpus(df).cache()
+    twice = sorted(
+        (r.doc_id, r.text) for r in curation.curate_corpus(curated).collect()
+    )
+    assert twice == sorted((r.doc_id, r.text) for r in curated.collect())
