@@ -134,3 +134,21 @@ def test_curate_corpus_is_deterministic_and_idempotent(spark):
         (r.doc_id, r.text) for r in curation.curate_corpus(curated).collect()
     )
     assert twice == sorted((r.doc_id, r.text) for r in curated.collect())
+
+
+def test_curate_corpus_plan_shape(spark):
+    """The composite stays join-sane: no cartesian/nested-loop joins, and
+    the only joins are the semi (exact-dedup survivors), the paragraph
+    keeper equi-join, the reassembly left join, and (with a benchmark) the
+    broadcast anti — never an all-pairs product."""
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven")], "doc_id bigint, text string"
+    )
+    plan = (
+        curation.curate_corpus(_toy_corpus(spark), benchmark=bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
