@@ -150,3 +150,41 @@ def run_foreach_batch(stream_df: DataFrame, checkpoint_dir: str, out_dir: str) -
         .start()
     )
     q.awaitTermination()
+
+
+DOCS_DDL = "doc_id bigint, ts timestamp, text string"
+
+
+def curate_stream(
+    docs: DataFrame,
+    min_words: int = 5,
+    max_words: int = 10000,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Ingest-time curation on a document stream: the STATELESS curation
+    stages (length gate, PII scrub, within-doc line dedup — all pure
+    per-row expressions, streaming-safe by construction) plus streaming
+    exact dedup via `dropDuplicatesWithinWatermark` on the content hash,
+    so a redelivered/recrawled page is emitted once per watermark horizon.
+
+    State is one (hash, ts) entry per unique document inside the horizon —
+    bounded, like the rollup jobs. The CORPUS-WIDE passes (paragraph-level
+    dedup, MinHash near-dedup, decontamination) are deliberately NOT here:
+    they need corpus-global grouping and belong in the batch compaction
+    pass (`operators.curation.curate_corpus`) over the accumulated output —
+    the standard stream-ingest + batch-compact split.
+    """
+    from ai_service_ocr_grading_handler_spark.operators.curation import line_dedup_on
+    from ai_service_ocr_grading_handler_spark.operators.dedup import pii_redact
+
+    ws = F.size(F.split(F.col("text"), " "))
+    gated = docs.filter((ws >= min_words) & (ws <= max_words))
+    scrubbed = gated.select(
+        "doc_id", "ts", line_dedup_on(pii_redact("text")).alias("text")
+    )
+    return (
+        scrubbed.withWatermark("ts", watermark)
+        .withColumn("content_md5", F.md5("text"))
+        .dropDuplicatesWithinWatermark(["content_md5"])
+        .drop("content_md5")
+    )

@@ -122,3 +122,33 @@ def test_stateful_running_totals_survive_restart(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_curate_stream_gates_scrubs_and_dedups(spark, tmp_path):
+    """Ingest-time curation: short docs gated, PII scrubbed, repeated lines
+    collapsed, and a redelivered document (same content, later timestamp
+    within the watermark) emitted exactly once."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "mail a@b.io now please\nmail a@b.io now please\nsecond line"),
+        (2, t0 + dt.timedelta(minutes=1), "tiny"),
+        (3, t0 + dt.timedelta(minutes=2), "a perfectly unique document with words"),
+        # redelivery of doc 1's content (post-scrub identical), new id+ts
+        (4, t0 + dt.timedelta(minutes=3), "mail z@y.org now please\nmail z@y.org now please\nsecond line"),
+    ]
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(rows, jobs.DOCS_DDL).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(jobs.DOCS_DDL).parquet(src)
+    jobs.run_available_now(
+        jobs.curate_stream(stream), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    out = {r.doc_id: r.text for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert 2 not in out  # length gate
+    assert set(out) == {1, 3}  # doc 4 deduped against doc 1's scrubbed content
+    assert out[1] == "mail <EMAIL> now please\nsecond line"
+    assert out[3] == "a perfectly unique document with words"
