@@ -207,6 +207,7 @@ def test_paragraph_dedup_keeps_first_occurrence(spark):
         (3, "shared boilerplate para"),
         (4, "alone here"),
         (5, ""),
+        (6, "same para twice\n\nsame para twice"),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {
@@ -218,6 +219,7 @@ def test_paragraph_dedup_keeps_first_occurrence(spark):
     assert got[3] == ""
     assert got[4] == "alone here"
     assert got[5] == ""
+    assert got[6] == "same para twice"  # intra-doc repeat keeps first only
     # independent oracle: row_number over (paragraph hash) in (doc, idx) order
     con = duckdb.connect()
     con.execute("create table docs (doc_id bigint, text varchar)")
