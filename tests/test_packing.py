@@ -1,0 +1,70 @@
+"""Sequence packing: budget respected, every doc packed exactly once,
+oversize isolation, and partitioning-independence (determinism)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ai_service_ocr_grading_handler_spark.operators import packing
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+
+def test_packs_respect_budget_and_cover_every_doc(spark):
+    docs = _docs(spark)
+    packed = packing.pack_sequences(docs, max_tokens=512, n_groups=8).cache()
+    # every doc exactly once
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+    # no multi-doc pack exceeds the budget; only oversize singletons may
+    per_pack = packed.groupBy("group_id", "pack_id").agg(
+        F.sum("n_tokens").alias("tot"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(F.col("oversize").cast("int")).alias("over"),
+    )
+    bad = per_pack.filter((F.col("tot") > 512) & (F.col("over") == 0)).count()
+    assert bad == 0
+    # an oversize doc is always alone in its pack
+    assert per_pack.filter((F.col("over") == 1) & (F.col("n_docs") > 1)).count() == 0
+    stats = packing.packing_stats(packed, max_tokens=512).collect()[0]
+    assert stats.n_packs == per_pack.count()
+    assert 0 < stats.mean_fill <= 1.0
+
+
+def test_packing_is_partitioning_independent(spark):
+    docs = _docs(spark)
+    a = set(
+        map(
+            tuple,
+            packing.pack_sequences(docs.repartition(1), max_tokens=512).collect(),
+        )
+    )
+    b = set(
+        map(
+            tuple,
+            packing.pack_sequences(
+                docs.repartition(16, "doc_id"), max_tokens=512
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_oversize_doc_flagged_not_truncated(spark):
+    df = spark.createDataFrame(
+        [(1, "word " * 5000), (2, "short doc here"), (3, "another short one")],
+        "doc_id bigint, text string",
+    )
+    packed = packing.pack_sequences(df, max_tokens=100, n_groups=1).collect()
+    rows = {r.doc_id: r for r in packed}
+    assert rows[1].oversize and rows[1].n_tokens > 100
+    assert not rows[2].oversize and not rows[3].oversize
+    # the oversize doc sits alone in its pack
+    assert (
+        len([r for r in packed if (r.group_id, r.pack_id) == (rows[1].group_id, rows[1].pack_id)])
+        == 1
+    )
