@@ -1,0 +1,93 @@
+"""Deterministic sampling/splitting/mixing: DuckDB value parity for the
+hash draw and copy counts, split stability under corpus growth, and exact
+upsample semantics."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+
+from ai_service_ocr_grading_handler_spark.operators import sampling
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hash_frac_matches_duckdb(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    got = {
+        r.doc_id: round(r.f, 10)
+        for r in docs.select("doc_id", sampling.hash_frac().alias("f")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{SF}/documents.parquet')"
+    )
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, round({sampling.hash_frac_duck()}, 10) FROM documents"
+        ).fetchall()
+    )
+    assert got == want
+    assert all(0 <= f < 1 for f in got.values())
+
+
+def test_split_proportions_and_growth_stability(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    split = sampling.deterministic_split(docs, w)
+    counts = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert abs(counts.get("train", 0) / n - 0.8) < 0.1
+    # growing the corpus never moves an existing doc between splits
+    half = sampling.deterministic_split(docs.filter(F.col("doc_id") % 2 == 0), w)
+    full_assign = {r.doc_id: r.split for r in split.collect()}
+    for r in half.collect():
+        assert full_assign[r.doc_id] == r.split
+
+
+def test_mix_sources_copy_counts_match_duckdb(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "source")
+    rates = {"src1": 0.5, "src2": 2.5}
+    mixed = sampling.mix_sources(docs, rates)
+    got = {
+        r.doc_id: r.n
+        for r in mixed.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{SF}/documents.parquet')"
+    )
+    n_expr = sampling.mix_sources_duck_n_copies(rates)
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {n_expr} FROM documents WHERE {n_expr} > 0"
+        ).fetchall()
+    )
+    assert got == want
+    # upsampled source yields 2 or 3 copies; downsampled 0 or 1
+    srcs = {r.doc_id: r.source for r in docs.collect()}
+    for did, n in got.items():
+        if srcs[did] == "src2":
+            assert n in (2, 3)
+        elif srcs[did] == "src1":
+            assert n == 1  # survivors of the 0.5 downsample
+        else:
+            assert n == 1  # default rate 1.0
+    # the downsampled source actually lost documents
+    n_src1_in = sum(1 for s_ in srcs.values() if s_ == "src1")
+    n_src1_out = sum(1 for did, n in got.items() if srcs[did] == "src1")
+    assert 0 < n_src1_out < n_src1_in
+    # the upsampled source gained copies
+    assert any(n > 1 for did, n in got.items() if srcs[did] == "src2")
+    # copy index is 1..n (posexplode over sequence(1, n))
+    copies = mixed.groupBy("doc_id").agg(F.max("copy").alias("mx"), F.count("*").alias("n")).collect()
+    assert all(r.mx == r.n - 1 for r in copies)  # posexplode pos is 0-based
+
+
+def test_split_weights_must_sum_to_one(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    try:
+        sampling.deterministic_split(docs, {"train": 0.5, "val": 0.1})
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
