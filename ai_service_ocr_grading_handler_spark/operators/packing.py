@@ -96,3 +96,62 @@ def packing_stats(packed: DataFrame, max_tokens: int = 2048) -> DataFrame:
         ).alias("mean_fill"),
         F.sum("has_oversize").alias("n_oversize_packs"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 1000,
+    stride: int = 800,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Long-document word-window chunking with overlap (window - stride
+    words shared between consecutive chunks) — how oversize documents from
+    `pack_sequences` become trainable pieces without silent truncation.
+
+    (id, chunk_idx, chunk_text, n_words) rows; a document shorter than
+    `window` yields exactly itself as chunk 0. Pure per-row expressions +
+    one posexplode: zero shuffle, zero Python — the corpus streams
+    through. The split is lambda-bound so it tokenizes once per row (see
+    dedup._SHINGLES_SPARK); chunk count = ceil(max(n - window + stride,
+    0) / stride) + 1 matches the DuckDB twin exactly (tested)."""
+    if not 0 < stride <= window:
+        raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
+    chunks = (
+        "flatten(transform(array(split({t}, ' ')), ws ->"
+        " transform(sequence(0, cast(ceil(greatest(size(ws) - {w} + {s}, 0) / {s})"
+        " as int)),"
+        " i -> struct(i AS chunk_idx,"
+        " array_join(slice(ws, i * {s} + 1, {w}), ' ') AS chunk_text,"
+        " size(slice(ws, i * {s} + 1, {w})) AS n_words))))"
+    ).format(t=text_col, w=window, s=stride)
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(chunks)).alias("c"))
+        .select(id_col, "c.chunk_idx", "c.chunk_text", "c.n_words")
+        # the ceil() bound over-counts by one exactly when stride divides
+        # (n - window) evenly AND n > window; that trailing empty slice is
+        # dropped here rather than special-cased in the bound
+        .filter(F.col("n_words") > 0)
+    )
+
+
+def chunk_documents_duck(
+    window: int = 1000,
+    stride: int = 800,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of chunk_documents."""
+    return f"""
+    SELECT {id_col}, c.i AS chunk_idx,
+           array_to_string(list_slice(string_split({text_col}, ' '),
+                           c.i * {stride} + 1, c.i * {stride} + {window}), ' ')
+             AS chunk_text
+    FROM {table},
+      LATERAL (SELECT unnest(range(0,
+        ceil(greatest(len(string_split({text_col}, ' ')) - {window} + {stride}, 0)
+             / {stride})::bigint + 1)) AS i) c
+    WHERE len(list_slice(string_split({text_col}, ' '),
+              c.i * {stride} + 1, c.i * {stride} + {window})) > 0
+    """

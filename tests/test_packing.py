@@ -68,3 +68,40 @@ def test_oversize_doc_flagged_not_truncated(spark):
         len([r for r in packed if (r.group_id, r.pack_id) == (rows[1].group_id, rows[1].pack_id)])
         == 1
     )
+
+
+def test_chunking_matches_duckdb_and_overlaps(spark):
+    import duckdb
+
+    docs = _docs(spark)
+    got = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in packing.chunk_documents(docs, window=40, stride=30).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{SF}/documents.parquet')"
+    )
+    want = {
+        (d, i): t
+        for d, i, t in con.execute(
+            packing.chunk_documents_duck(window=40, stride=30)
+        ).fetchall()
+    }
+    assert got == want
+    # at least one long doc chunked, and consecutive chunks overlap by
+    # window - stride = 10 words
+    multi = [k for k in got if k[1] == 1]
+    assert multi
+    did = multi[0][0]
+    w0, w1 = got[(did, 0)].split(" "), got[(did, 1)].split(" ")
+    assert w0[30:] == w1[: len(w0) - 30]
+    # short docs come back whole as chunk 0
+    short = spark.createDataFrame(
+        [(1, "just a few words"), (2, "")], "doc_id bigint, text string"
+    )
+    rows = packing.chunk_documents(short, window=40, stride=30).collect()
+    assert {(r.doc_id, r.chunk_idx, r.chunk_text) for r in rows} == {
+        (1, 0, "just a few words"),
+        (2, 0, ""),
+    }
