@@ -336,6 +336,54 @@ def scaling_main(args) -> None:
     print(json.dumps(report))
 
 
+def curation_main(args) -> None:
+    """Times the curation/packing tiers over the documents table at
+    --sf-dir (min of 2 passes over one built plan, same protocol as the
+    headline). Separate JSON line so BENCH_r*.json headline comparisons
+    across rounds stay stable."""
+    from ai_service_ocr_grading_handler_spark.operators import curation, dedup, packing, sampling
+    from ai_service_ocr_grading_handler_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-curation", cpus=args.cpus)
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    n_docs = docs.count()  # warms the scan/page cache too
+    jobs = {
+        "curate_corpus": lambda: curation.curate_corpus(docs),
+        "paragraph_dedup": lambda: dedup.paragraph_dedup(docs),
+        "chunk_documents": lambda: packing.chunk_documents(docs, window=200, stride=150),
+        "pack_sequences": lambda: packing.pack_sequences(docs, max_tokens=2048),
+        "split_and_mix": lambda: sampling.mix_sources(
+            sampling.deterministic_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05}),
+            {"src1": 0.5, "src2": 2.0},
+        ),
+    }
+    times: dict[str, float] = {}
+    for name, build in jobs.items():
+        df = build()
+        passes = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            passes.append(time.perf_counter() - t0)
+        times[name] = round(min(passes), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "curation_total_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": args.sf_dir,
+                "n_docs": n_docs,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -358,6 +406,13 @@ def main() -> None:
     ap.add_argument("--jvm-runs", type=int, default=3,
                     help="fresh JVMs per side; best-of-K (between-JVM noise)")
     ap.add_argument("--hw-probe", action="store_true")
+    ap.add_argument(
+        "--curation",
+        action="store_true",
+        help="time the curation/packing tiers (curate_corpus, paragraph "
+        "dedup, chunking, sequence packing, split+mix) at --sf-dir; "
+        "separate metric line, the default headline is untouched",
+    )
     args = ap.parse_args()
 
     if args.hw_probe:
@@ -371,6 +426,9 @@ def main() -> None:
     if args.scaling:
         args.replicate = args.replicate or SCALING_REPLICATE
         scaling_main(args)
+        return
+    if args.curation:
+        curation_main(args)
         return
     args.replicate = args.replicate or REPLICATE
 
