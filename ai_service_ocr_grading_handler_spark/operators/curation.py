@@ -63,9 +63,14 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def line_dedup_on(col: Column) -> Column:
-    """Drop repeated lines WITHIN a document, keeping first occurrences in
-    order — a pure per-row expression (zero shuffle): a line survives iff
-    its 1-based first occurrence (array_position) is its own position.
+    """Drop repeated NON-BLANK lines WITHIN a document, keeping first
+    occurrences in order — a pure per-row expression (zero shuffle): a
+    line survives iff it is blank (whitespace-only) or its 1-based first
+    occurrence (array_position) is its own position. Blank lines are
+    exempt because they are STRUCTURE, not content: deduping them would
+    delete every paragraph separator after the first, corrupting
+    multi-paragraph documents and silently disabling the downstream
+    paragraph-level dedup (found by review; pinned by test).
     O(lines²) per row worst-case, bounded by document size. The input
     column and its split are each bound once (array()/lambda hoist, see
     _SHINGLES_SPARK) so an expensive upstream rewrite — e.g. the PII
@@ -77,7 +82,8 @@ def line_dedup_on(col: Column) -> Column:
                 F.transform(
                     F.filter(
                         F.sequence(F.lit(1), F.size(ls)),
-                        lambda i: F.array_position(ls, F.element_at(ls, i)) == i,
+                        lambda i: (F.trim(F.element_at(ls, i)) == "")
+                        | (F.array_position(ls, F.element_at(ls, i)) == i),
                     ),
                     lambda i: F.element_at(ls, i),
                 ),
@@ -94,17 +100,43 @@ def line_dedup(text_col: str = "text") -> Column:
 
 
 def line_dedup_duck(col: str = "text") -> str:
-    """DuckDB twin of line_dedup (list_position = first occurrence)."""
+    """DuckDB twin of line_dedup (list_position = first occurrence; blank
+    lines exempt, matching the Spark side)."""
     return (
         "array_to_string(list_transform(list_filter("
         f" range(1, len(string_split({col}, chr(10))) + 1),"
-        f" i -> list_position(string_split({col}, chr(10)),"
+        f" i -> trim(string_split({col}, chr(10))[i]) = ''"
+        f" OR list_position(string_split({col}, chr(10)),"
         f" string_split({col}, chr(10))[i]) = i),"
         f" i -> string_split({col}, chr(10))[i]), chr(10))"
     )
 
 
 # --- the composite pipeline ----------------------------------------------------
+
+
+def stateless_curate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    max_words: int = 10000,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The streaming-safe curation stages, shared by curate_corpus and
+    streaming.jobs.curate_stream so batch and stream can never drift:
+    length gate -> PII scrub -> within-doc line dedup. The gate counts
+    words across ANY whitespace (newlines included) — a destructive filter
+    must not undercount one-word-per-line documents (lists, poetry, code),
+    unlike the advisory quality_score whose single-space convention it
+    otherwise mirrors."""
+    n_words = F.size(F.split(F.col(text_col), "\\s+"))
+    gated = df.filter((n_words >= min_words) & (n_words <= max_words))
+    return gated.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        line_dedup_on(_dd.pii_redact(text_col)).alias(text_col),
+    )
 
 
 def curate_corpus(
@@ -134,23 +166,34 @@ def curate_corpus(
     Order rationale: text-rewriting stages run BEFORE the content hashes
     so duplicates of the same page differing only in PII/noise dedup
     together; URL dedup (url_dedup) belongs even earlier, in the crawl
-    layer, where a text column does not exist yet.
+    layer, where a text column does not exist yet. The benchmark side is
+    scrubbed with the SAME stateless rewrites before n-gram hashing —
+    decontaminating rewritten training text against raw benchmark text
+    would let any benchmark passage containing an email/phone/IP-shaped
+    run slip through (found by review; pinned by test).
+
+    Stage 4 elects the canonical row with a row_number window over the
+    content hash, not exact_dedup + semi-join: the join form evaluates the
+    expensive scrub projection once PER JOIN SIDE (the same
+    no-ReusedExchange disease simhash_neardup_pairs documents), while the
+    window is one pass and one shuffle.
     """
-    ws = F.size(F.split(F.col(text_col), " "))
-    gated = df.filter((ws >= min_words) & (ws <= max_words))
-    scrubbed = gated.select(
-        F.col(id_col),
-        line_dedup_on(_dd.pii_redact(text_col)).alias(text_col),
+    from pyspark.sql import Window
+
+    scrubbed = stateless_curate(df, text_col, id_col, min_words, max_words)
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    unique = (
+        scrubbed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    canon = (
-        _dd.exact_dedup(scrubbed, text_col, id_col)
-        .select(F.col("canonical_id").alias(id_col))
-    )
-    unique = scrubbed.join(canon, id_col, "left_semi")
     para = _dd.paragraph_dedup(unique, text_col, id_col).select(
         F.col(id_col), F.col("dedup_text").alias(text_col)
     )
     out = para.filter(F.col(text_col) != "")
     if benchmark is not None:
-        out = _dd.decontaminate(out, benchmark, text_col, id_col)
+        clean_bench = stateless_curate(
+            benchmark, text_col, id_col, min_words=1, max_words=1 << 31
+        )
+        out = _dd.decontaminate(out, clean_bench, text_col, id_col)
     return out

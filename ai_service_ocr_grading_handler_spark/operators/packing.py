@@ -22,9 +22,15 @@ from pyspark.sql import DataFrame
 
 from ai_service_ocr_grading_handler_spark.operators.textquality import bpe_token_count
 
-PACK_SCHEMA = (
-    "group_id int, pack_id bigint, doc_id bigint, n_tokens int, oversize boolean"
-)
+
+def _pack_schema(id_col: str, id_type: str) -> str:
+    """Output schema derived from the caller's id column name AND type —
+    a hardcoded 'doc_id bigint' would rename (or fail Arrow conversion
+    for) any non-default id."""
+    return (
+        f"group_id int, pack_id bigint, {id_col} {id_type},"
+        " n_tokens int, oversize boolean"
+    )
 
 
 def pack_sequences(
@@ -34,7 +40,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(group_id, pack_id, doc_id, n_tokens, oversize): greedy first-fit in
+    """(group_id, pack_id, <id_col>, n_tokens, oversize): greedy first-fit in
     id order within each hash group; a document alone exceeding the budget
     gets its own pack with oversize=true (callers split or drop those —
     this operator never silently truncates text).
@@ -72,13 +78,18 @@ def pack_sequences(
             {
                 "group_id": pdf["group_id"],
                 "pack_id": pack_ids,
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "n_tokens": pdf["n_tokens"],
                 "oversize": oversize,
             }
         )
 
-    return counted.groupBy("group_id").applyInPandas(pack, schema=PACK_SCHEMA)
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )[id_col]
+    return counted.groupBy("group_id").applyInPandas(
+        pack, schema=_pack_schema(id_col, id_type)
+    )
 
 
 def packing_stats(packed: DataFrame, max_tokens: int = 2048) -> DataFrame:

@@ -40,12 +40,21 @@ def _dot(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
     form measured ~3.4 s per million element-ops; this codegen form is
     milliseconds after a one-time Janino compile). 0.0 + t0 == t0 and the
     same add order keep every double bit-identical to the fold, so ranks
-    and the DuckDB oracle are unchanged."""
+    and the DuckDB oracle are unchanged.
+
+    try_element_at, NOT element_at: under Spark 4's ANSI mode a plain
+    element_at on an embedding shorter than `dim` throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT and kills the whole job — one
+    poisoned row must never kill a task. try_element_at yields NULL, the
+    NULL propagates through the sum, and the row's cosine is NULL (then
+    filtered/ranked out) — exactly what the old zip_with fold produced
+    for length-mismatched arrays (zip padding -> NULL products -> NULL
+    fold). Dimensions beyond `dim` are ignored by contract."""
     acc: Column | None = None
     for i in range(dim):
-        t = F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast(
-            "double"
-        )
+        t = F.try_element_at(a, F.lit(i + 1)).cast("double") * F.try_element_at(
+            b, F.lit(i + 1)
+        ).cast("double")
         acc = t if acc is None else acc + t
     return acc
 
@@ -159,17 +168,20 @@ NEARDUP_CORPUS_DUCK = """
 """
 
 
-def lsh_neardups(df: DataFrame, threshold: float = 0.9) -> DataFrame:
+def lsh_neardups(
+    df: DataFrame, threshold: float = 0.9, max_bucket: int = 1000
+) -> DataFrame:
     """ANN near-dup pairs: group by LSH bucket, generate pairs INSIDE each
     bucket (sorted collect -> i<j struct explode), cosine-verify candidates
     only.
 
     One pass over the corpus (the signature fold runs once — a bucket
     self-join computes it for both sides) and one shuffle on bucket keys;
-    the all-pairs cross product is never materialized. Bucket sizes are
-    bounded by the signature width (16 planes -> 64k buckets); a degenerate
-    hot bucket is the standard LSH skew case — production caps bucket size
-    or adds planes."""
+    the all-pairs cross product is never materialized. Buckets are capped
+    at max_bucket sorted members before the O(k²) in-row pair array —
+    especially load-bearing here, where each member struct carries the
+    full embedding; see dedup.minhash_lsh_neardups for the rationale (the
+    cap never triggers on the fixtures, so the oracle stays value-exact)."""
     sigs = df.select("vec_id", "embedding", lsh_bucket_col().alias("bucket"))
     pairs = (
         "flatten(transform(vs, (x, i) ->"
@@ -179,8 +191,12 @@ def lsh_neardups(df: DataFrame, threshold: float = 0.9) -> DataFrame:
     return (
         sigs.groupBy("bucket")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))
+                ),
+                1,
+                max_bucket,
             ).alias("vs")
         )
         .filter(F.size("vs") > 1)

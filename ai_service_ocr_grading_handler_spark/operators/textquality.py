@@ -156,12 +156,16 @@ _BIGRAMS_DUCK = (
 # Both use the array(...)/lambda-variable hoist so split/hash run once per
 # row (see dedup._SHINGLES_SPARK).
 _WORD_HASHES = "transform(split({t}, ' '), w -> xxhash64(w))"
-_PAIR_HASHES = (
-    "flatten(transform(array(" + _WORD_HASHES + "), wh ->"
+# single template over an arbitrary word-hash-array expression — used with
+# _WORD_HASHES here and a rebound `ws` inside quality_row, so the bigram
+# formula can never drift between the two forms
+_PAIR_HASHES_TMPL = (
+    "flatten(transform(array({wh}), wh ->"
     " CASE WHEN size(wh) < 2 THEN cast(array() as array<bigint>)"
     " ELSE transform(sequence(1, size(wh) - 1),"
     " i -> xxhash64(element_at(wh, i), element_at(wh, i + 1))) END))"
 )
+_PAIR_HASHES = _PAIR_HASHES_TMPL.format(wh=_WORD_HASHES)
 
 
 def _top_run_ratio_spark(harr: str) -> str:
@@ -245,14 +249,10 @@ def quality_row(text_col: str = "text") -> Column:
     cjk_sql = _CJK_SPARK.replace("\\", "\\\\")
     best = "greatest(" + ", ".join(f"h.{lg}" for lg in LANG_PREFERENCE) + ")"
     mean_wl = f"(length({t}) - (size(ws) - 1)) / size(ws)"
-    # word/bigram hash arrays rebound to the already-split `ws`
+    # word/bigram hash arrays rebound to the already-split `ws` (shared
+    # template — the bigram formula cannot drift from _PAIR_HASHES)
     wh_ws = "transform(ws, w -> xxhash64(w))"
-    pair_ws = (
-        "flatten(transform(array(" + wh_ws + "), wh ->"
-        " CASE WHEN size(wh) < 2 THEN cast(array() as array<bigint>)"
-        " ELSE transform(sequence(1, size(wh) - 1),"
-        " i -> xxhash64(element_at(wh, i), element_at(wh, i + 1))) END))"
-    )
+    pair_ws = _PAIR_HASHES_TMPL.format(wh=wh_ws)
     quality = (
         f"CASE WHEN size(ws) < 5 OR size(ws) > 10000 THEN 0.0D"
         f" WHEN {mean_wl} < 2 THEN 0.1D"

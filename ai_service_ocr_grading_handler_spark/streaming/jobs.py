@@ -174,13 +174,12 @@ def curate_stream(
     pass (`operators.curation.curate_corpus`) over the accumulated output —
     the standard stream-ingest + batch-compact split.
     """
-    from ai_service_ocr_grading_handler_spark.operators.curation import line_dedup_on
-    from ai_service_ocr_grading_handler_spark.operators.dedup import pii_redact
+    from ai_service_ocr_grading_handler_spark.operators.curation import stateless_curate
 
-    ws = F.size(F.split(F.col("text"), " "))
-    gated = docs.filter((ws >= min_words) & (ws <= max_words))
-    scrubbed = gated.select(
-        "doc_id", "ts", line_dedup_on(pii_redact("text")).alias("text")
+    # the SAME stateless stages as the batch pass (shared helper — batch
+    # and stream must not drift on gate/scrub semantics)
+    scrubbed = stateless_curate(
+        docs, min_words=min_words, max_words=max_words, keep_cols=("ts",)
     )
     return (
         scrubbed.withWatermark("ts", watermark)

@@ -152,3 +152,75 @@ def test_curate_corpus_plan_shape(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_line_dedup_preserves_blank_separators(spark):
+    """Blank lines are structure, not content: deduping them would delete
+    every paragraph separator after the first (review finding)."""
+    df = spark.createDataFrame(
+        [(1, "p1 line\n\np2 line\n\np3 line"), (2, "a\n\n\n\nb")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.t
+        for r in df.select("doc_id", curation.line_dedup("text").alias("t")).collect()
+    }
+    assert got[1] == "p1 line\n\np2 line\n\np3 line"
+    assert got[2] == "a\n\n\n\nb"
+    # DuckDB twin agrees on the exemption
+    con = duckdb.connect()
+    con.execute("create table d (doc_id bigint, text varchar)")
+    con.executemany(
+        "insert into d values (?, ?)",
+        [(1, "p1 line\n\np2 line\n\np3 line"), (2, "a\n\n\n\nb")],
+    )
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {curation.line_dedup_duck('text')} FROM d"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_curate_corpus_dedups_shared_paragraph_in_multi_paragraph_docs(spark):
+    """The review's repro: a shared paragraph inside >=3-paragraph documents
+    must still dedup cross-doc (the old line_dedup ate the separators and
+    silently disabled this)."""
+    df = spark.createDataFrame(
+        [
+            (1, "first unique paragraph words here\n\nsecond unique paragraph words here\n\nthird paragraph words here okay"),
+            (2, "different lead paragraph entirely here\n\nthird paragraph words here okay"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.text for r in curation.curate_corpus(df).collect()}
+    assert out[1] == (
+        "first unique paragraph words here\n\nsecond unique paragraph words here"
+        "\n\nthird paragraph words here okay"
+    )
+    assert out[2] == "different lead paragraph entirely here"
+
+
+def test_gate_counts_words_across_newlines(spark):
+    """A one-word-per-line document (list, poetry, code) must not be
+    destroyed by the length gate (review finding)."""
+    df = spark.createDataFrame(
+        [(1, "\n".join(f"w{i}" for i in range(30))), (2, "too small")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id for r in curation.stateless_curate(df).collect()}
+    assert out == {1}
+
+
+def test_curate_decontaminates_against_scrubbed_benchmark(spark):
+    """Benchmark text containing PII-shaped runs must still catch the
+    contaminated (scrubbed) training doc (review finding)."""
+    passage = "write to help@evalsuite.org with the answer to question nine about the treaty of westphalia signed"
+    train = spark.createDataFrame(
+        [(1, passage + "\n\nsome extra training words beyond the passage"),
+         (2, "a completely clean document with plenty of words in it")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(100, passage)], "doc_id bigint, text string")
+    out = {r.doc_id for r in curation.curate_corpus(train, benchmark=bench).collect()}
+    assert out == {2}

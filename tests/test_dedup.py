@@ -277,3 +277,20 @@ def test_pii_redact_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_cosine_is_total_over_short_embeddings(spark):
+    """A truncated embedding row must yield a NULL cosine (then filtered),
+    never an ANSI INVALID_ARRAY_INDEX crash that kills the job (review
+    finding; the 'one poisoned row never kills a task' contract)."""
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)]), (2, [1.0, 2.0, 3.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = df.select(
+        "vec_id",
+        similarity.cosine(F.col("embedding"), F.col("embedding")).alias("c"),
+    ).collect()
+    got = {r.vec_id: r.c for r in rows}
+    assert abs(got[1] - 1.0) < 1e-9  # full-length row: cos(x, x) = 1
+    assert got[2] is None  # short row: NULL, not a crash

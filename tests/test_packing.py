@@ -105,3 +105,17 @@ def test_chunking_matches_duckdb_and_overlaps(spark):
         (1, 0, "just a few words"),
         (2, 0, ""),
     }
+
+
+def test_pack_sequences_respects_custom_id_col(spark):
+    """The output id column keeps the caller's name and type (review
+    finding: a hardcoded 'doc_id bigint' schema renamed or broke
+    non-default ids)."""
+    df = spark.createDataFrame(
+        [("a", "five words of text here"), ("b", "and some more words too")],
+        "vec_id string, text string",
+    )
+    packed = packing.pack_sequences(df, max_tokens=50, id_col="vec_id")
+    assert "vec_id" in packed.columns and "doc_id" not in packed.columns
+    got = {r.vec_id for r in packed.collect()}
+    assert got == {"a", "b"}
