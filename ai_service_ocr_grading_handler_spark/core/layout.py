@@ -101,12 +101,26 @@ def parse_pdf_bytes(blob: bytes) -> list[Box]:
     reader = PdfReader(io.BytesIO(blob))
     for pno, page in enumerate(reader.pages):
         page_h = float(page.mediabox.height)
+        # mediabox lower-left is not always (0,0); page coords are relative
+        # to it
+        mb_x0 = float(page.mediabox.left)
+        mb_y0 = float(page.mediabox.bottom)
 
-        def visit(text, cm, tm, font_dict, font_size, pno=pno, page_h=page_h):
+        def visit(
+            text, cm, tm, font_dict, font_size,
+            pno=pno, page_h=page_h, mb_x0=mb_x0, mb_y0=mb_y0,
+        ):
             t = text.strip()
             if not t:
                 return
-            x, y = float(tm[4]), float(tm[5])
+            # text origin = (tm[4], tm[5]) mapped through the CURRENT
+            # TRANSFORMATION MATRIX — using the text matrix alone places
+            # cm-translated/scaled content (generated PDFs, XObjects) at
+            # text-space coordinates and corrupts the XY-cut clustering
+            # (found by review)
+            tx, ty = float(tm[4]), float(tm[5])
+            x = float(cm[0]) * tx + float(cm[2]) * ty + float(cm[4]) - mb_x0
+            y = float(cm[1]) * tx + float(cm[3]) * ty + float(cm[5]) - mb_y0
             fs = float(font_size or 10.0)
             # PDF user space is y-up; the layout kernel is y-down. Width is
             # an em-box estimate — XY-cut needs band separations, not glyph

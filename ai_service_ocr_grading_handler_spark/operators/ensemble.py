@@ -105,17 +105,31 @@ def predict_numbers(requests: DataFrame) -> DataFrame:
         bid = pdf["batch_id"]
         g = pdf.groupby(bid, sort=False)
         # K7/K13 + T9: the stacked artifact's newline split returns the
-        # crops in order, so the per-line kernel parse is per-crop
+        # crops in order, so the per-line kernel parse is per-crop. The
+        # parse is TOTAL: a crop whose text doesn't match yields -1 (the
+        # batch_valid flag below is what rejects it) — a poisoned crop
+        # must never kill the task.
+        matches = [_CROP_RE.match(c) for c in crops]
         predicted = pd.Series(
-            [int(_CROP_RE.match(c).group(1)) for c in crops], index=pdf.index
+            [int(m.group(1)) if m else -1 for m in matches], index=pdf.index
         )
         # A5: canvas fold — max width, sum height + spacing between crops
         clen = pd.Series([len(c) for c in crops], index=pdf.index)
         n = g["doc_id"].transform("size")
         width = clen.groupby(bid, sort=False).transform("max")
         height = g["crop_height"].transform("sum") + SPACING_PX * (n - 1)
-        # A3: reject when #numbers != #boxes (llm_number_prediction.py:125-126)
-        valid = predicted.groupby(bid, sort=False).transform("size") == n
+        # A3: reject when #numbers != #boxes (llm_number_prediction.py:
+        # 125-126). The count compared against the box count is the LINE
+        # count of the stacked artifact's newline split (T9) — a crop
+        # whose decoded text embeds a newline yields extra lines and fails
+        # the check, exactly the reference's failure mode. (The earlier
+        # form compared the group size to itself — always True — making
+        # the reference quirk unfalsifiable; found by review, pinned by
+        # test.)
+        n_lines = pd.Series(
+            [c.count("\n") + 1 for c in crops], index=pdf.index
+        ).groupby(bid, sort=False).transform("sum")
+        valid = n_lines == n
         # J4 + stale-score quirk (llm_number_prediction.py:185-205):
         # forward-fill the last matching max_score within the batch
         match = predicted.values == pdf["correct_answer"].values

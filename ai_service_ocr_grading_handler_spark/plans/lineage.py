@@ -182,10 +182,25 @@ def merge_upsert(
         vdir = root / pointer.read_text().strip()
         if vdir.exists() and _committed_parquet(vdir):
             base = spark.read.parquet(str(vdir))
+    # one row per key in the applied update set: MERGE semantics forbid
+    # multiple matches for one key (Iceberg errors; Mongo's update_one
+    # applies them serially). A batch frame has no arrival order, so the
+    # deterministic resolution is max-by-struct over the full row — stable
+    # across partitionings, and a caller that needs true last-write-wins
+    # orders by a version column it includes in the row (found by review:
+    # duplicate keys used to be inserted side by side, corrupting the
+    # ledger for every later read).
+    cols = updates.columns
+    deduped = (
+        updates.groupBy(key)
+        .agg(F.max(F.struct(*[c for c in cols if c != key])).alias("_r"))
+        .select(key, "_r.*")
+        .select(*cols)
+    )
     merged = (
-        base.join(updates.select(key), key, "left_anti").unionByName(updates)
+        base.join(deduped.select(key), key, "left_anti").unionByName(deduped)
         if base is not None
-        else updates
+        else deduped
     )
     version = f"v{int(pointer.read_text().strip()[1:]) + 1}" if pointer.exists() else "v0"
     merged.write.mode("overwrite").parquet(str(root / version))

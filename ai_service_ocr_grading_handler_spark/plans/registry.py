@@ -260,7 +260,7 @@ def q_events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from ai_service_ocr_grading_handler_spark.operators import textquality as _tq0
+from ai_service_ocr_grading_handler_spark.operators import textquality as _tq
 
 
 @register(
@@ -268,7 +268,7 @@ from ai_service_ocr_grading_handler_spark.operators import textquality as _tq0
     f"""
     SELECT doc_id,
            len(string_split(trim(text), ' ')) AS n_tokens,
-           {_tq0.duck_bpe_token_count('text')} AS n_bpe_tokens,
+           {_tq.duck_bpe_token_count('text')} AS n_bpe_tokens,
            length(text) AS n_chars_computed,
            round(len(string_split(trim(text), ' ')) / (length(text) / 100.0), 4)
              AS tokens_per_100_chars
@@ -286,7 +286,7 @@ def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        _tq0.bpe_token_count("text").alias("n_bpe_tokens"),
+        _tq.bpe_token_count("text").alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_computed"),
         F.round(n_tokens / (F.length("text") / F.lit(100.0)), 4).alias(
             "tokens_per_100_chars"
@@ -636,7 +636,6 @@ def q_ensemble_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ai_service_ocr_grading_handler_spark.operators import dedup as _dd
 from ai_service_ocr_grading_handler_spark.operators import similarity as _sim
-from ai_service_ocr_grading_handler_spark.operators import textquality as _tq
 
 
 @register(
@@ -945,7 +944,10 @@ def q_credit_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hash match proves (a) matched keys were $set-overwritten, (b)
     unmatched keys were inserted, (c) untouched rows survived, and (d) the
     second application was a no-op — re-runs never double-decrement."""
+    import hashlib
+    import shutil
     import tempfile
+    from pathlib import Path
 
     from ai_service_ocr_grading_handler_spark.plans import lineage as _l
 
@@ -972,7 +974,15 @@ def q_credit_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("AI_PROCESSED").alias("status"),
         )
     )
-    ledger = tempfile.mkdtemp(prefix="credit-ledger-") + "/ledger"
+    # deterministic per-corpus dir, WIPED on entry: a fresh mkdtemp per
+    # build leaked /tmp linearly across driver correctness runs (found by
+    # review); overwrite-in-place keeps disk bounded and the query
+    # build-idempotent
+    ledger = str(
+        Path(tempfile.gettempdir())
+        / f"credit-ledger-{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(ledger, ignore_errors=True)
     _l.merge_upsert(spark, ledger, seed, "user_id")
     _l.merge_upsert(spark, ledger, updates, "user_id")
     final = _l.merge_upsert(spark, ledger, updates, "user_id")  # idempotent re-run

@@ -155,17 +155,20 @@ def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
             continue
         if name not in qs:
             continue
-        # min of 2 passes over ONE built plan: this VM shows large
-        # run-to-run variance (see BENCH/BASELINE.md), so a single sample
-        # punishes whichever query drew the noisy slot; reusing the
-        # DataFrame makes pass 2 measure steady-state EXECUTION (driver-side
-        # Catalyst analysis is a one-time cost in production and still lands
-        # in pass 1). The cache is cleared between passes so queries that
-        # persist() internally (minhash) re-earn their time.
-        df = qs[name](spark, sf_dir)
+        # min of 2 passes, REBUILDING the DataFrame after each clearCache:
+        # clearCache() drops CacheManager REGISTRATIONS, not just data, so
+        # timing one pre-built plan would run internally-persist()ing
+        # queries (minhash) with their persist silently disabled —
+        # recomputing the signature pipeline once per consumer, a plan the
+        # shipped operator never executes (found by review). Rebuilding per
+        # pass re-registers the persist; each pass still re-earns the
+        # materialization (the cache from the previous pass is gone), and
+        # min-of-2 absorbs this VM's large run-to-run variance (see
+        # BENCH/BASELINE.md).
         passes = []
         for _ in range(2):
             spark.catalog.clearCache()
+            df = qs[name](spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             passes.append(time.perf_counter() - t0)
@@ -361,10 +364,11 @@ def curation_main(args) -> None:
     }
     times: dict[str, float] = {}
     for name, build in jobs.items():
-        df = build()
         passes = []
         for _ in range(2):
+            # rebuild after clearCache — same rationale as run_headline
             spark.catalog.clearCache()
+            df = build()
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             passes.append(time.perf_counter() - t0)

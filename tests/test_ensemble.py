@@ -57,3 +57,31 @@ def test_partitioning_invariance(spark):
     base = _results(spark, req)
     scrambled = _results(spark, req.repartition(13, F.col("doc_id")))
     assert base.equals(scrambled)
+
+
+def test_a3_count_check_rejects_newline_crop(spark):
+    """The reference's A3 check (#numbers != #boxes after the stacked
+    artifact's newline split, llm_number_prediction.py:125-126) must be
+    falsifiable: a crop whose decoded text embeds a newline produces an
+    extra line and invalidates its batch; clean batches stay valid.
+    (Review finding: the old check compared a group size to itself.)"""
+    rows = [
+        # batch 0: clean
+        (0, 0, 0, 7, 1.0, 20, b"PNGFAKE|7"),
+        (1, 0, 1, 9, 1.0, 20, b"PNGFAKE|9"),
+        # batch 1: one crop smuggles a newline -> 3 lines vs 2 boxes
+        (2, 1, 0, 4, 1.0, 20, b"PNGFAKE|4\nPNGFAKE|5"),
+        (3, 1, 1, 6, 1.0, 20, b"PNGFAKE|6"),
+    ]
+    req = spark.createDataFrame(
+        rows,
+        "doc_id bigint, batch_id bigint, pos int, correct_answer int,"
+        " max_score double, crop_height int, crop binary",
+    )
+    out = ensemble.predict_numbers(req).orderBy("doc_id").toPandas()
+    by_doc = out.set_index("doc_id")
+    assert bool(by_doc.loc[0, "batch_valid"]) and bool(by_doc.loc[1, "batch_valid"])
+    assert not bool(by_doc.loc[2, "batch_valid"])
+    assert not bool(by_doc.loc[3, "batch_valid"])
+    # the poisoned crop parses to the total-function sentinel, not a crash
+    assert int(by_doc.loc[2, "predicted"]) == -1

@@ -185,3 +185,26 @@ def test_merge_upsert_idempotent_and_crash_atomic(spark, tmp_path):
         for r in lineage.merge_upsert(spark, ledger, upd, "user_id").collect()
     }
     assert out3 == out1
+
+
+def test_merge_upsert_resolves_duplicate_update_keys(spark, tmp_path):
+    """MERGE semantics forbid two applied rows for one key: duplicate keys
+    in one update batch must resolve to a single deterministic row
+    (max-by-struct), not be inserted side by side (review finding)."""
+    from ai_service_ocr_grading_handler_spark.plans import lineage
+
+    ledger = str(tmp_path / "ledger")
+    seed = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "user_id bigint, credits double"
+    )
+    lineage.merge_upsert(spark, ledger, seed, "user_id")
+    updates = spark.createDataFrame(
+        [(2, 19.5), (2, 18.0), (3, 5.0)], "user_id bigint, credits double"
+    )
+    final = lineage.merge_upsert(spark, ledger, updates, "user_id")
+    rows = {r.user_id: r.credits for r in final.collect()}
+    assert final.count() == 3  # exactly one row per key
+    assert rows == {1: 10.0, 2: 19.5, 3: 5.0}  # max-by-struct wins for key 2
+    # re-applying is still a no-op
+    again = lineage.merge_upsert(spark, ledger, updates, "user_id")
+    assert {r.user_id: r.credits for r in again.collect()} == rows
