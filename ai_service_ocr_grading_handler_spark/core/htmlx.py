@@ -213,6 +213,18 @@ def segment_blocks(html_text: str) -> list[Block]:
             continue
         if name in _block_tags:
             flush()
+            # Anchor state RESETS at block boundaries: an unclosed <a> in
+            # scraped HTML (common) would otherwise mark every later text
+            # run as anchor text, drive link_density to 1.0 for the rest of
+            # the page, and classify a full article as boilerplate (found
+            # by review). This emulates the recovery a DOM parser gives
+            # Boilerpipe-style per-block anchor counting; the cost is that
+            # a LEGAL block-wrapping anchor (<a><div>card</div></a>) counts
+            # its inner blocks as plain text — the bounded error over the
+            # unbounded one. Void separators (<br>/<hr>) keep anchor scope:
+            # "line1<br>line2" inside one <a> is routine markup.
+            if name not in _void_tags:
+                in_anchor = 0
             if name in _content_containers:
                 in_article += -1 if closing else 1
                 in_article = max(0, in_article)

@@ -138,24 +138,46 @@ def parse_pdf_bytes(blob: bytes) -> list[Box]:
 
 
 def _xy_cut(boxes: list[Box]) -> list[Box]:
-    """Recursive XY-cut reading order: split at horizontal whitespace bands
-    first (title band above a multi-column body), then at vertical bands
-    (columns), recursing; leaves sort top-to-bottom, left-to-right."""
-    if len(boxes) <= 1:
-        return list(boxes)
-    byy = sorted(boxes, key=lambda b: b.y0)
-    reach = byy[0].y1
-    for i in range(1, len(byy)):
-        if byy[i].y0 > reach + 1e-6:
-            return _xy_cut(byy[:i]) + _xy_cut(byy[i:])
-        reach = max(reach, byy[i].y1)
-    byx = sorted(boxes, key=lambda b: b.x0)
-    reach = byx[0].x1
-    for i in range(1, len(byx)):
-        if byx[i].x0 > reach + 1e-6:
-            return _xy_cut(byx[:i]) + _xy_cut(byx[i:])
-        reach = max(reach, byx[i].x1)
-    return sorted(boxes, key=lambda b: (b.y0, b.x0))
+    """XY-cut reading order: split at horizontal whitespace bands first
+    (title band above a multi-column body), then at vertical bands
+    (columns); leaves sort top-to-bottom, left-to-right.
+
+    Iterative (explicit LIFO worklist), NOT recursive: a page of n
+    vertically separated line boxes splits 1-vs-rest n times, so the
+    recursive form's depth is O(n) and a ~1000-line page (n_boxes is u16)
+    raised RecursionError — outside extract_layout's codec guard, killing
+    the Spark task for one dense page (found by review; pinned by test).
+    Segments are processed depth-first in order, so the emitted sequence is
+    identical to the recursion's."""
+    out: list[Box] = []
+    stack: list[list[Box]] = [list(boxes)]
+    while stack:
+        seg = stack.pop()
+        if len(seg) <= 1:
+            out.extend(seg)
+            continue
+        split = None
+        byy = sorted(seg, key=lambda b: b.y0)
+        reach = byy[0].y1
+        for i in range(1, len(byy)):
+            if byy[i].y0 > reach + 1e-6:
+                split = (byy[:i], byy[i:])
+                break
+            reach = max(reach, byy[i].y1)
+        if split is None:
+            byx = sorted(seg, key=lambda b: b.x0)
+            reach = byx[0].x1
+            for i in range(1, len(byx)):
+                if byx[i].x0 > reach + 1e-6:
+                    split = (byx[:i], byx[i:])
+                    break
+                reach = max(reach, byx[i].x1)
+        if split is None:
+            out.extend(sorted(seg, key=lambda b: (b.y0, b.x0)))
+        else:
+            stack.append(split[1])  # LIFO: first part processed first
+            stack.append(split[0])
+    return out
 
 
 def _normalize_for_recurrence(text: str) -> str:

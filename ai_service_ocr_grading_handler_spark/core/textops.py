@@ -73,6 +73,13 @@ def find_data_in_string(data_string: str, type: str = "ocr"):
       re-dumped with indent=4, then fed through convert_feedback_format;
       returns (formatted_feedback, level_score) like the reference.
     """
+    # TOTALITY (deliberate divergence from the reference, which crashes on
+    # both): a NULL/None input yields the empty result, and `{...}` blocks
+    # that are not valid JSON are skipped rather than raising — in the
+    # reference a bad row errors one Lambda request; in Spark an exception
+    # here kills the task and its retries for one poisoned row.
+    if data_string is None:
+        return ("", 0.0) if type == "argumentative-essay-ocr" else ""
     if type == "ocr":
         data_string_clean = _OCR_STRIP_QUOTES_RE.sub("", data_string)
         matches = re.findall(_OCR_PATTERN, data_string_clean) + re.findall(
@@ -88,8 +95,12 @@ def find_data_in_string(data_string: str, type: str = "ocr"):
             return m.group(0) if len(m.group()) > 0 else data_string
         return data_string
     elif type == "argumentative-essay-ocr":
-        matches_json = _JSON_BLOCK_RE.findall(data_string)
-        json_objects = [json.loads(match) for match in matches_json]
+        json_objects = []
+        for match in _JSON_BLOCK_RE.findall(data_string):
+            try:
+                json_objects.append(json.loads(match))
+            except ValueError:
+                continue  # prose braces like 'the set {a, b}' are not JSON
         final_json_string = json.dumps(json_objects, indent=4)
         return convert_feedback_format(final_json_string)
     return None
@@ -105,8 +116,10 @@ def convert_feedback_format(feedback_json: str) -> tuple[str, float]:
     formatted_feedback = ""
     score_level_based: float = 0
     for feedback in feedback_list:
-        formatted_feedback += f"{ feedback['FeedbackPointName']} - {feedback['improvement']}\n\n"
-        level_name = feedback["levelName"]
+        if not isinstance(feedback, dict):
+            continue  # totality: a parsed block like "[1]" is not feedback
+        formatted_feedback += f"{ feedback.get('FeedbackPointName')} - {feedback.get('improvement')}\n\n"
+        level_name = feedback.get("levelName")
         if level_name is not None:
             score_level_based += LEVEL_SCORES.get(level_name, 0)
     return formatted_feedback.strip(), score_level_based
@@ -175,7 +188,11 @@ def route_model(grading_prompt: str | None, model_name: str | None) -> str:
         return "gemini-vision-number"
     elif gp == "whole-page-ocr":
         return "whole-page-ocr"
-    return model_name if model_name else "gpt-4-latest"
+    # reference falls back ONLY on the empty string (gen_ai_calling.py:159:
+    # `reqobj['modelName'] if reqobj['modelName']!='' else "gpt-4-latest"`);
+    # a JSON-null modelName is None != '' -> returned as-is, and the alias
+    # mapping then yields the 'model does not found' sentinel
+    return model_name if model_name != "" else "gpt-4-latest"
 
 
 def mapping_model_with_name(model_name: str, llm_name_mapping=None):

@@ -26,9 +26,14 @@ def gpt_messages(
     mk = lambda role, content: F.struct(
         F.lit(role).alias("role"), content.alias("content")
     )
-    user = F.when(
-        answer.cast("string") == "", F.lit("No Answer")
-    ).otherwise(F.concat(F.lit("studentAnswer: "), answer.cast("string")))
+    # NULL answer follows the reference literally: str(None) = 'None' != ''
+    # -> "studentAnswer: None" (llm_format_convertion.py:31) — without the
+    # coalesce, concat null-propagates and the whole user message (then the
+    # folded claude/gemini/llama user text) silently becomes NULL
+    ans = answer.cast("string")
+    user = F.when(ans == "", F.lit("No Answer")).otherwise(
+        F.concat(F.lit("studentAnswer: "), F.coalesce(ans, F.lit("None")))
+    )
     return F.array(
         mk("system", system_prompt),
         mk("system", rubric),
@@ -52,8 +57,14 @@ def _pystrip(c: Column) -> Column:
 
 
 def _system_fold(gpt: Column) -> Column:
+    # NULL-content messages are skipped, modeling the reference's
+    # absent-key path (__contains__ guards each append,
+    # llm_format_convertion.py:9-27) — folding them would null-propagate
+    # through concat and silently discard the ENTIRE folded system string
     folded = F.aggregate(
-        F.filter(gpt, lambda m: m["role"] == "system"),
+        F.filter(
+            gpt, lambda m: (m["role"] == "system") & m["content"].isNotNull()
+        ),
         F.lit(""),
         lambda acc, m: F.concat(acc, _pystrip(m["content"]), F.lit("\n\n")),
     )
@@ -62,7 +73,9 @@ def _system_fold(gpt: Column) -> Column:
 
 def _user_fold(gpt: Column) -> Column:
     return F.aggregate(
-        F.filter(gpt, lambda m: m["role"] == "user"),
+        F.filter(
+            gpt, lambda m: (m["role"] == "user") & m["content"].isNotNull()
+        ),
         F.lit(""),
         lambda acc, m: F.concat(acc, m["content"], F.lit(",")),
     )

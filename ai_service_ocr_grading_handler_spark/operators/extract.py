@@ -57,7 +57,6 @@ def extract_pages(pages: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            t0 = perf_counter()
             texts: list[str] = []
             spans: list[list[dict]] = []
             n_blocks: list[int] = []
@@ -91,7 +90,6 @@ def extract_pages(pages: DataFrame) -> DataFrame:
                     "extract_us": us,
                 }
             )
-            del t0
 
     return pages.select(*cols).mapInPandas(kernel, schema=EXTRACTED_SCHEMA_DDL)
 

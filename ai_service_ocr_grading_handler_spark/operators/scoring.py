@@ -40,8 +40,11 @@ def route_alias(grading_prompt: Column, model_name: Column) -> Column:
         .when(gp == "gemini-number", F.lit("gemini-vision-number"))
         .when(gp == "whole-page-ocr", F.lit("whole-page-ocr"))
         .otherwise(
+            # only the EMPTY STRING falls back (reference semantics, see
+            # textops.route_model): a NULL modelName passes through and the
+            # alias dim join then yields the 'model does not found' sentinel
             F.when(
-                model_name.isNotNull() & (model_name != ""), model_name
+                model_name.isNull() | (model_name != ""), model_name
             ).otherwise(F.lit("gpt-4-latest"))
         )
     )
@@ -89,10 +92,18 @@ def rubric_zip(rubrics: Column, responses: Column) -> Column:
     )
 
 
-def rubric_score_sum(responses: Column) -> Column:
-    """A1: score = Σ rubricWiseScore — per-row array fold, no shuffle."""
+def rubric_score_sum(responses: Column, rubrics: Column) -> Column:
+    """A1: score = Σ rubricWiseScore over the FIRST len(rubrics) responses —
+    the reference's loop runs over rubric indices (utils.py:205-221), so
+    surplus model responses beyond the rubric count do NOT score (they
+    used to be summed here, silently inflating score and flipping
+    is_correct; found by review). Responses shorter than the rubric sum
+    what exists — the reference raises IndexError there, and a poisoned
+    row must not kill the task. Per-row array fold, no shuffle."""
     return F.aggregate(
-        responses, F.lit(0.0), lambda acc, x: acc + x["rubricWiseScore"]
+        F.slice(responses, 1, F.size(rubrics)),
+        F.lit(0.0),
+        lambda acc, x: acc + x["rubricWiseScore"],
     )
 
 
@@ -182,8 +193,12 @@ def grade(df: DataFrame, rubrics_col: str = "rubrics", responses_col: str = "res
     emits score/max_score/flags/rubricWiseResponse. Pipelined narrow ops,
     fused into one codegen stage."""
     rubrics, responses, text = F.col(rubrics_col), F.col(responses_col), F.col(text_col)
-    score = rubric_score_sum(responses)
-    max_score = rubric_max_sum(rubrics)
+    # NULL arrays (the reference's non-list rubric path,
+    # assign_rubric_id_to_response) score 0/0 -> is_correct True — the
+    # folds alone would null-propagate and emit NULL flags that silently
+    # misroute downstream filters (found by review)
+    score = F.coalesce(rubric_score_sum(responses, rubrics), F.lit(0.0))
+    max_score = F.coalesce(rubric_max_sum(rubrics), F.lit(0.0))
     return (
         df.withColumn("rubric_wise_response", rubric_zip(rubrics, responses))
         .withColumn("score", score)

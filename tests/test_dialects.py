@@ -125,3 +125,30 @@ def test_vision_dialects_shapes(spark):
         ]}
     ]
     assert json.loads(row.n) == {"base64_image": enc, "batch_size": 3}
+
+
+def test_null_answer_and_null_system_fields(spark):
+    """NULL answer renders the reference's str(None) literally
+    ('studentAnswer: None', llm_format_convertion.py:31); NULL system-side
+    content is skipped like the reference's absent key — neither may
+    null-propagate into a NULL message or a NULL folded string (review
+    finding)."""
+    df = spark.createDataFrame(
+        [(1, "sys", None, "q text", None), (2, "sys", "Rubrics: x", "q", "")],
+        "doc_id bigint, sp string, rubric string, question string, answer string",
+    )
+    gpt = dialects.gpt_messages(
+        F.col("sp"), F.col("rubric"), F.col("question"), F.col("answer")
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            F.to_json(gpt).alias("gpt_json"),
+            F.to_json(dialects.to_claude(gpt)).alias("claude_json"),
+        ).collect()
+    }
+    assert '"content":"studentAnswer: None"' in out[1].gpt_json
+    # null rubric: folded system keeps sys + question, no null-propagation
+    assert '"system":"sys\\n\\nquestion: q text"' in out[1].claude_json
+    assert '"content":"No Answer"' in out[2].gpt_json

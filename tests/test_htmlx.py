@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import duckdb
 
-from ai_service_ocr_grading_handler_spark.core.htmlx import extract_doc, normalize_ws, segment_blocks
+from ai_service_ocr_grading_handler_spark.core.htmlx import classify_blocks, extract_doc, normalize_ws, segment_blocks
 from ai_service_ocr_grading_handler_spark.corpus import (
     DUCKDB_GOLDEN_TEXT_EXPR,
     fixture_pages,
@@ -140,3 +140,24 @@ def test_block_confidence_scores():
     assert long_b.is_content and long_b.confidence > 0.85
     assert bridge.is_content and bridge.confidence < long_b.confidence
     assert not nav.is_content and nav.confidence > 0.8
+
+
+def test_unclosed_anchor_does_not_poison_following_blocks():
+    """An unclosed <a> early in a page must not mark the rest of the
+    document as anchor text (link_density 1.0 -> everything boilerplate;
+    review finding). Anchor state resets at non-void block boundaries;
+    <br> keeps anchor scope."""
+    body = " ".join(f"word{i}" for i in range(40))
+    html = (
+        "<html><body>"
+        "<div><a href='/x'>Home</div>"  # unclosed anchor
+        f"<p>{body}</p>"
+        "</body></html>"
+    ).encode()
+    r = extract_doc(html)
+    assert body in r.text  # the long paragraph survives as content
+    # and a legitimate line-broken anchor still counts fully as anchor text
+    html2 = b"<p><a href='/y'>line one<br>line two</a></p>"
+    blocks = classify_blocks(segment_blocks(html2.decode()))
+    joined = [b for b in blocks if "line" in b.text]
+    assert joined and all(b.link_density > 0.9 for b in joined)

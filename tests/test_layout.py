@@ -121,3 +121,17 @@ def test_layout_determinism_fuzz():
         assert r1.text == r2.text and r1.n_boxes == r2.n_boxes
 
     run()
+
+
+def test_xy_cut_handles_thousand_stacked_lines():
+    """A dense page of vertically separated line boxes must not blow the
+    recursion limit (1-vs-rest splits made the old recursive depth O(n);
+    review finding)."""
+    from ai_service_ocr_grading_handler_spark.core.layout import Box, _xy_cut
+
+    boxes = [
+        Box(0, 0.0, float(i * 20), 100.0, float(i * 20 + 10), 10, f"line {i}")
+        for i in range(1500)
+    ]
+    ordered = _xy_cut(list(reversed(boxes)))
+    assert [b.text for b in ordered] == [f"line {i}" for i in range(1500)]

@@ -126,3 +126,76 @@ def test_empty_short_circuit(spark):
     assert by["given image is empty"] == (0.0, "No answer provided")
     assert by["Given Image Is Empty"] == (0.0, "No answer provided")  # lower() both
     assert by["ans"] == (3.0, "graded")
+
+
+def test_surplus_responses_do_not_score(spark):
+    """utils.py:205-221 loops over RUBRIC indices: extra model responses
+    beyond the rubric count must not inflate score/flip is_correct, and a
+    short response list sums what exists instead of crashing (review
+    finding)."""
+    df = spark.createDataFrame(
+        [
+            # 2 rubrics, 4 responses: only the first 2 scores count
+            (
+                1,
+                [{"rubricId": "r1", "score": 2.0, "criteria": "a"},
+                 {"rubricId": "r2", "score": 3.0, "criteria": "b"}],
+                [{"rubricWiseScore": 2.0}, {"rubricWiseScore": 3.0},
+                 {"rubricWiseScore": 9.0}, {"rubricWiseScore": 9.0}],
+                "some answer",
+            ),
+            # 2 rubrics, 1 response: partial sum, no crash
+            (
+                2,
+                [{"rubricId": "r1", "score": 2.0, "criteria": "a"},
+                 {"rubricId": "r2", "score": 3.0, "criteria": "b"}],
+                [{"rubricWiseScore": 2.0}],
+                "some answer",
+            ),
+        ],
+        "doc_id bigint,"
+        " rubrics array<struct<rubricId:string,score:double,criteria:string>>,"
+        " responses array<struct<rubricWiseScore:double>>, text string",
+    )
+    out = {r.doc_id: r for r in scoring.grade(df).collect()}
+    assert out[1].score == 5.0 and out[1].max_score == 5.0
+    assert bool(out[1].is_correct)
+    assert out[2].score == 2.0 and out[2].max_score == 5.0
+    assert not bool(out[2].is_correct)
+
+
+def test_null_rubric_scores_zero_and_correct(spark):
+    """The reference's non-list rubric path (assign_rubric_id_to_response)
+    returns score=0, max_score=0 -> correctness_flag True; NULL arrays must
+    not null-propagate into NULL flags (review finding)."""
+    df = spark.createDataFrame(
+        [(1, None, None, "anything")],
+        "doc_id bigint,"
+        " rubrics array<struct<rubricId:string,score:double,criteria:string>>,"
+        " responses array<struct<rubricWiseScore:double>>, text string",
+    )
+    row = scoring.grade(df).collect()[0]
+    assert row.score == 0.0 and row.max_score == 0.0
+    assert bool(row.is_correct) is True
+
+
+def test_null_modelname_routes_to_sentinel(spark):
+    """Null modelName passes route_alias through (only '' falls back,
+    gen_ai_calling.py:159) and the dim join yields the reference's
+    'model does not found' sentinel (review finding)."""
+    df = spark.createDataFrame(
+        [(1, "unrouted-prompt", None), (2, "unrouted-prompt", "")],
+        "doc_id bigint, grading_prompt string, model_name_in string",
+    )
+    routed = df.select(
+        "doc_id",
+        scoring.route_alias(
+            F.col("grading_prompt"), F.col("model_name_in")
+        ).alias("model_alias"),
+    )
+    out = {
+        r.doc_id: (r.model_alias, r.model_name)
+        for r in scoring.with_model_mapping(routed, spark).collect()
+    }
+    assert out[1] == (None, "model does not found")
+    assert out[2] == ("gpt-4-latest", "gpt-4o")

@@ -119,3 +119,34 @@ def test_mapping_model_with_name():
     }
     assert T.mapping_model_with_name("nope") == "model does not found"
     assert len(T.LLM_NAME_MAPPING) == 16
+
+
+def test_find_data_in_string_is_total():
+    """Totality (deliberate divergence from the crashing reference): None
+    input yields the empty result; prose braces that are not JSON are
+    skipped, not fatal (review findings)."""
+    from ai_service_ocr_grading_handler_spark.core.textops import find_data_in_string
+
+    assert find_data_in_string(None, "ocr") == ""
+    assert find_data_in_string(None, "claude-json") == ""
+    assert find_data_in_string(None, "argumentative-essay-ocr") == ("", 0.0)
+    fb, sc = find_data_in_string(
+        'the set {a, b} is fine {"FeedbackPointName": "Clarity",'
+        ' "improvement": "tighten", "levelName": "Good"} done',
+        "argumentative-essay-ocr",
+    )
+    assert fb == "Clarity - tighten" and sc == 1.0
+
+
+def test_route_model_null_modelname_yields_sentinel():
+    """gen_ai_calling.py:159 falls back ONLY on the empty string: a JSON
+    null modelName is returned as-is and the alias mapping then yields the
+    'model does not found' sentinel (review finding)."""
+    from ai_service_ocr_grading_handler_spark.core.textops import (
+        mapping_model_with_name,
+        route_model,
+    )
+
+    assert route_model("some-other-prompt", None) is None
+    assert mapping_model_with_name(None) == "model does not found"
+    assert route_model("some-other-prompt", "") == "gpt-4-latest"
