@@ -91,6 +91,24 @@ def url_for(doc_id: int, source: str) -> str:
 DUCKDB_URL_EXPR = "('https://' || " + DUCKDB_HOST_EXPR + " || '/' || {src} || '/' || {id})"
 
 
+def url_col(id_col, src_col):
+    """Spark Column twin of url_for/DUCKDB_URL_EXPR — the ONE place the
+    skewed host/url formula exists for Spark plans (a hand-copied inline
+    version in the registry drifted-by-luck until review flagged it)."""
+    import pyspark.sql.functions as F
+
+    d = F.col(id_col) if isinstance(id_col, str) else id_col
+    src = F.col(src_col) if isinstance(src_col, str) else src_col
+    return F.concat(
+        F.lit("https://host"),
+        F.when(d % 10 < 3, F.lit(0)).otherwise(d % 50).cast("string"),
+        F.lit(".example.com/"),
+        src,
+        F.lit("/"),
+        d.cast("string"),
+    )
+
+
 def warc_ts_for(doc_id: int) -> _dt.datetime:
     return _EPOCH + _dt.timedelta(seconds=int(doc_id) * 37)
 

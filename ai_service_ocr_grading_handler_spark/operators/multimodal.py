@@ -169,9 +169,10 @@ def sample_frames(media: DataFrame, every_k: int = 3) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, kind, blob in zip(pdf["doc_id"], pdf["kind"], pdf["media"]):
-                if kind != "video":
-                    continue
+            # input is pre-filtered to kind == 'video' below; no per-row
+            # re-check (the old redundant guard misled readers into
+            # thinking the kernel handles mixed-kind batches)
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
                 _, _, _, payload = unpack_media(blob)
                 n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
                 for idx in range(0, n_frames, every_k):

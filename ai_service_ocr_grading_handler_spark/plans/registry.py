@@ -32,6 +32,7 @@ from ai_service_ocr_grading_handler_spark.corpus import (
     DUCKDB_URL_EXPR,
     pages_df_from_documents,
     requests_df,
+    url_col,
 )
 from ai_service_ocr_grading_handler_spark.core.textops import LLM_NAME_MAPPING
 from ai_service_ocr_grading_handler_spark.functions import spans
@@ -842,7 +843,12 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT d.doc_id, (t.i * 3)::int AS frame_idx,
            substr(hex(encode(text)), t.i * 3 * 64 * 2 + 1, 128) AS frame_hex
-    FROM documents d, range(0, 64) t(i)
+    -- range bound 4096 is a generator ceiling only (= 256 KiB more payload
+    -- than any synthetic document; corpus text tops out well under 1 KiB);
+    -- the t.i * 3 < n_frames predicate is the real stop condition, so the
+    -- oracle cannot silently under-enumerate frames (review finding: the
+    -- old bound of 64 had only ~5x headroom and no note)
+    FROM documents d, range(0, 4096) t(i)
     WHERE d.doc_id % 3 = 2
       AND t.i * 3 < ceil(octet_length(encode(text)) / 64.0)
     ORDER BY d.doc_id, frame_idx
@@ -1283,14 +1289,7 @@ def q_ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     camel = F.when(d % 2 == 0, F.concat(F.lit("S"), d.cast("string")))
     snake = F.when(d % 2 != 0, F.concat(F.lit("s_"), d.cast("string")))
     answer = F.when(d % 4 == 1, F.lit("")).otherwise(F.col("text"))
-    answer_url = F.concat(
-        F.lit("https://host"),
-        F.when(d % 10 < 3, F.lit(0)).otherwise(d % 50).cast("string"),
-        F.lit(".example.com/"),
-        F.col("source"),
-        F.lit("/"),
-        d.cast("string"),
-    )
+    answer_url = url_col(d, F.col("source"))  # single source of truth
     max_raw = F.when(d % 7 != 0, 0.5 * (1 + d % 8))
     flag = F.element_at(
         F.array(*[F.lit(x) for x in ["1", "true", "T", "no", "0", "false"]]),
@@ -1534,7 +1533,11 @@ def q_question_format(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id AS mark_id, user_id, ts AS mark_ts
       FROM events WHERE event_id % 100 = 0
     ), ticks AS (
-      SELECT user_id, ts, value FROM events WHERE event_id % 100 <> 0
+      -- one tick per (user, ts): ASOF on duplicate timestamps is
+      -- ambiguous in BOTH engines, so the tie is resolved deterministically
+      -- (max value) before the join on BOTH sides
+      SELECT user_id, ts, max(value) AS value
+      FROM events WHERE event_id % 100 <> 0 GROUP BY user_id, ts
     )
     SELECT m.mark_id, m.user_id,
            round(t.value, 2) AS asof_value,
@@ -1560,13 +1563,23 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("tick_ts"),
         F.lit(1).alias("is_mark"),
     )
-    ticks = ev.filter(F.col("event_id") % 100 != 0).select(
-        F.lit(None).cast("bigint").alias("mark_id"),
-        "user_id",
-        F.col("ts"),
-        F.col("value").alias("tick_value"),
-        F.col("ts").alias("tick_ts"),
-        F.lit(0).alias("is_mark"),
+    # one tick per (user, ts), max value — without this, equal-ts ticks
+    # make last() over an (ts, is_mark)-ordered window pick an arbitrary
+    # winner that varies across partitionings AND can disagree with the
+    # (equally ambiguous) DuckDB ASOF; the dedupe pins both engines to the
+    # same deterministic answer (found by review)
+    ticks = (
+        ev.filter(F.col("event_id") % 100 != 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("tick_value"))
+        .select(
+            F.lit(None).cast("bigint").alias("mark_id"),
+            "user_id",
+            F.col("ts"),
+            "tick_value",
+            F.col("ts").alias("tick_ts"),
+            F.lit(0).alias("is_mark"),
+        )
     )
     merged = ticks.unionAll(marks)
     w = (
@@ -2124,7 +2137,11 @@ from ai_service_ocr_grading_handler_spark.operators.extract import extract_block
     SELECT {DUCKDB_URL_EXPR.format(id='doc_id', src='source')} AS url,
            t.i::int AS content_rank,
            chunks[t.i + 1] AS block_text
-    FROM g, range(0, 16) t(i)
+    -- range bound 1024 is a generator ceiling only (docs are <= 100 words,
+    -- so golden chunks number far below it); the t.i < len(chunks)
+    -- predicate is the real stop condition (review finding: the old bound
+    -- of 16 assumed <= 160-word docs with only 1.6x headroom, silently)
+    FROM g, range(0, 1024) t(i)
     WHERE t.i < len(chunks) AND chunks[t.i + 1] <> ''
     ORDER BY url, content_rank
     """,

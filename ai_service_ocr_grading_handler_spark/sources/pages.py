@@ -44,12 +44,17 @@ def write_pages_partitioned(pages: DataFrame, path: str) -> None:
     """Day-partitioned pages sink (the Iceberg days(warc_ts) analog).
 
     Partitions are derived, never stored twice: `warc_day` is dropped on
-    read. sortWithinPartitions(url) clusters each file for url-range
-    skipping WITHOUT a global sort (no extra shuffle beyond the partition
-    split — SURVEY.md §7 hard-point (d))."""
+    read. sortWithinPartitions(warc_day, url) clusters each file for
+    url-range skipping WITHOUT a global sort (no extra shuffle beyond the
+    partition split — SURVEY.md §7 hard-point (d)). The partition column
+    LEADS the sort: partitionBy requires ordering on warc_day, so sorting
+    by url alone makes the writer insert its own Sort(warc_day) on top —
+    a redundant per-task sort whose spill-merge does not preserve url
+    order within equal days, silently losing the promised clustering
+    (found by review)."""
     (
         pages.withColumn("warc_day", F.to_date("warc_ts"))
-        .sortWithinPartitions("url")
+        .sortWithinPartitions("warc_day", "url")
         .write.mode("overwrite")
         .partitionBy("warc_day")
         .parquet(path)

@@ -86,7 +86,10 @@ def run_available_now(
     q.awaitTermination()
 
 
-PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+# the pages input shape has ONE definition (corpus.PAGES_SCHEMA_DDL):
+# a drifted copy here would make the file-stream reader silently emit
+# NULLs for mismatched columns instead of erroring (review finding)
+from ai_service_ocr_grading_handler_spark.corpus import PAGES_SCHEMA_DDL as PAGES_DDL
 
 
 def extract_pages_stream(
