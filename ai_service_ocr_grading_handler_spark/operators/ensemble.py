@@ -101,7 +101,10 @@ def predict_numbers(requests: DataFrame) -> DataFrame:
 
     def process(pdf: pd.DataFrame) -> pd.DataFrame:
         # pdf holds whole batches, sorted by (batch_id, pos)
-        crops = [bytes(c).decode("utf-8") for c in pdf["crop"]]
+        # errors="replace": invalid UTF-8 in a crop must degrade to a
+        # failed parse (-1 + batch_valid False below), never a
+        # UnicodeDecodeError that kills the task (found by review)
+        crops = [bytes(c).decode("utf-8", errors="replace") for c in pdf["crop"]]
         bid = pdf["batch_id"]
         g = pdf.groupby(bid, sort=False)
         # K7/K13 + T9: the stacked artifact's newline split returns the

@@ -60,7 +60,17 @@ def _dot(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    """An all-zeros vector must yield NULL, never kill or pollute: under
+    Spark 4's ANSI mode a plain `/` on the 0.0 norm product THROWS
+    DIVIDE_BY_ZERO (task + retries die for one poisoned row — confirmed in
+    test), and were NaN produced instead, Spark sorts NaN ABOVE every
+    double, ranking the zero vector FIRST in every top-k and passing
+    `cos >= t` filters. try_divide returns NULL on a zero divisor and
+    nanvl(NULL) catches any residual NaN; NULL sorts last under desc and
+    fails every comparison — the drop-the-row semantics the _dot docstring
+    promises (found by review; pinned by test)."""
+    c = F.try_divide(_dot(a, b), F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    return F.nanvl(c, F.lit(None).cast("double"))
 
 
 DUCK_DOT = (

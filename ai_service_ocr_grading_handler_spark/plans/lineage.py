@@ -126,8 +126,21 @@ def run_extract(
         F.sum("extract_us").alias("extract_us"),
         F.min("warc_ts").alias("min_warc_ts"),
         F.max("warc_ts").alias("max_warc_ts"),
-    )
-    metrics.write.mode("append").parquet(str(_metrics_dir(out_root)))
+    ).persist()  # consumed twice (ledger write + manifest agg): one scan
+    # IDEMPOTENT ledger write: dynamic partition overwrite REPLACES exactly
+    # this run_id's rows, derived from committed data. A plain append (the
+    # old form) double-counted the run's metrics on every completed-run
+    # re-invocation, and a crash between the data commit and the metrics
+    # write lost the rows forever — with replace-from-committed, the same
+    # re-run REPAIRS that window instead (found by review; pinned by test).
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        metrics.write.mode("overwrite").partitionBy("run_id").parquet(
+            str(_metrics_dir(out_root))
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     m = (
         metrics.agg(
@@ -138,6 +151,7 @@ def run_extract(
         .collect()[0]
         .asDict()
     )
+    metrics.unpersist()
     manifest = {
         "run_id": run_id,
         "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -207,6 +221,16 @@ def merge_upsert(
     tmp = root / "current.tmp"
     tmp.write_text(version)
     tmp.replace(pointer)  # atomic pointer swap = commit
+    # GC superseded snapshots, keeping current + one predecessor (the
+    # reader-isolation window): without this every merge retained a full
+    # ledger copy forever — disk = ledger size x merge count (found by
+    # review; the snapshot-expiry Iceberg calls expireSnapshots)
+    import shutil as _sh
+
+    keep = {version, f"v{int(version[1:]) - 1}"}
+    for vdir in root.glob("v*"):
+        if vdir.is_dir() and vdir.name not in keep:
+            _sh.rmtree(vdir, ignore_errors=True)
     return spark.read.parquet(str(root / version))
 
 

@@ -141,13 +141,28 @@ def _warm_up(spark, pages_path: str) -> None:
     spark.range(0, 1 << 16).groupBy((F.col("id") % 7).alias("k")).count().collect()
 
 
-def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], float, int]:
+def run_headline(
+    spark, sf_dir: str, replicate: int = REPLICATE
+) -> tuple[dict[str, float], float, int]:
     from ai_service_ocr_grading_handler_spark.plans import registry
 
-    pages_path = ensure_pages(spark, sf_dir, REPLICATE)
+    pages_path = ensure_pages(spark, sf_dir, replicate)
     _warm_up(spark, pages_path)
     times: dict[str, float] = {}
+    # the extract bench retunes scan-split configs for the pages corpus;
+    # restore them afterwards so the 15 registry queries time under the
+    # SHIPPED get_spark() scan configuration, not a leaked micro-split one
+    # (found by review)
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes",
+        )
+    }
     sec, docs = run_extract_bench(spark, pages_path)
+    for k, v in saved.items():
+        spark.conf.set(k, v)
     times["extract_pages_bench"] = round(sec, 3)
     qs = registry.queries()
     for name in HEADLINE:
@@ -219,7 +234,10 @@ def hw_probe_main(args) -> None:
     ps = [mp.Process(target=burn, args=(q,)) for _ in range(args.cpus)]
     for p in ps:
         p.start()
-    rate = sum(q.get() for _ in ps)
+    # bounded get: a crashed burn child (missing pages cache, import
+    # failure) would otherwise leave the parent blocked in q.get() forever
+    # and hang the whole --scaling run (found by review)
+    rate = sum(q.get(timeout=120) for _ in ps)
     for p in ps:
         p.join()
     print(json.dumps({"cpus": args.cpus, "docs_per_sec": round(rate, 1)}))
@@ -439,7 +457,7 @@ def main() -> None:
     from ai_service_ocr_grading_handler_spark.session import get_spark
 
     spark = get_spark(app_name="bench", cpus=args.cpus)
-    times, extract_sec, docs = run_headline(spark, args.sf_dir)
+    times, extract_sec, docs = run_headline(spark, args.sf_dir, args.replicate)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

@@ -294,3 +294,22 @@ def test_cosine_is_total_over_short_embeddings(spark):
     got = {r.vec_id: r.c for r in rows}
     assert abs(got[1] - 1.0) < 1e-9  # full-length row: cos(x, x) = 1
     assert got[2] is None  # short row: NULL, not a crash
+
+
+def test_zero_vector_cosine_is_null_not_nan(spark):
+    """0/0 cosine (all-zeros embedding) must be NULL, not NaN: Spark sorts
+    NaN above every double, so a poisoned zero vector would rank FIRST in
+    every top-k and pass >= filters (review finding)."""
+    df = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [0.0] * 64)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.c
+        for r in df.select(
+            "vec_id",
+            similarity.cosine(F.col("embedding"), F.col("embedding")).alias("c"),
+        ).collect()
+    }
+    assert abs(got[1] - 1.0) < 1e-9
+    assert got[2] is None

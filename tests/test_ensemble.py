@@ -85,3 +85,19 @@ def test_a3_count_check_rejects_newline_crop(spark):
     assert not bool(by_doc.loc[3, "batch_valid"])
     # the poisoned crop parses to the total-function sentinel, not a crash
     assert int(by_doc.loc[2, "predicted"]) == -1
+
+
+def test_invalid_utf8_crop_degrades_not_crashes(spark):
+    """Non-UTF-8 crop bytes must decode with replacement and fail the parse
+    (-1, batch invalid), never raise UnicodeDecodeError in the kernel
+    (review finding)."""
+    req = spark.createDataFrame(
+        [
+            (0, 0, 0, 7, 1.0, 20, b"PNGFAKE|7"),
+            (1, 0, 1, 9, 1.0, 20, b"\x80\xff\xfe"),
+        ],
+        "doc_id bigint, batch_id bigint, pos int, correct_answer int,"
+        " max_score double, crop_height int, crop binary",
+    )
+    out = {r.doc_id: r for r in ensemble.predict_numbers(req).collect()}
+    assert out[1].predicted == -1

@@ -208,3 +208,38 @@ def test_merge_upsert_resolves_duplicate_update_keys(spark, tmp_path):
     # re-applying is still a no-op
     again = lineage.merge_upsert(spark, ledger, updates, "user_id")
     assert {r.user_id: r.credits for r in again.collect()} == rows
+
+
+def test_rerun_of_completed_run_keeps_metrics_consistent(spark, tmp_path):
+    """Re-invoking a COMPLETED run_id must be a full no-op: the metrics
+    ledger is replaced-from-committed (dynamic partition overwrite), not
+    appended, so verify_table stays consistent (review finding: the old
+    append double-counted every re-run)."""
+    from ai_service_ocr_grading_handler_spark.corpus import pages_df_from_documents
+    from ai_service_ocr_grading_handler_spark.plans import lineage
+
+    out = str(tmp_path / "job")
+    pages = pages_df_from_documents(spark, "/root/testdata/sf0.001")
+    lineage.run_extract(spark, pages, out, run_id="r1")
+    v1 = lineage.verify_table(spark, out)
+    assert v1["consistent"]
+    lineage.run_extract(spark, pages, out, run_id="r1")  # completed re-run
+    v2 = lineage.verify_table(spark, out)
+    assert v2["consistent"] and v2["rows"] == v1["rows"]
+
+
+def test_merge_upsert_gcs_old_versions(spark, tmp_path):
+    """Superseded ledger snapshots are garbage-collected (current + one
+    predecessor retained) — disk must not grow with merge count (review
+    finding)."""
+    from ai_service_ocr_grading_handler_spark.plans import lineage
+
+    ledger = tmp_path / "ledger"
+    for i in range(4):
+        upd = spark.createDataFrame(
+            [(1, float(i))], "user_id bigint, credits double"
+        )
+        lineage.merge_upsert(spark, str(ledger), upd, "user_id")
+    versions = sorted(p.name for p in ledger.glob("v*") if p.is_dir())
+    assert versions == ["v2", "v3"]
+    assert (ledger / "current").read_text().strip() == "v3"
