@@ -93,7 +93,11 @@ def quality_score(text_col: str = "text") -> dict[str, Column]:
     n_words = F.size(ws)
     mean_wl = (n_chars - (n_words - 1)) / n_words  # chars net of separators
     n_punct = F.length(F.regexp_replace(t, "[^.,;:!?]", ""))
-    punct_ratio = n_punct / n_chars
+    # try_divide: an EMPTY document has n_chars = 0 and a plain `/` throws
+    # DIVIDE_BY_ZERO under ANSI, killing the whole query for one empty row
+    # (found by the struct-vs-columns consistency test); NULL punct_ratio
+    # flows through quality's CASE (the n_words < 5 gate fires first)
+    punct_ratio = F.try_divide(n_punct, n_chars)
     sw_ratio = stopword_hits("en", text_col) / F.size(F.array_distinct(ws))
     quality = (
         F.when((n_words < 5) | (n_words > 10000), F.lit(0.0))
@@ -264,7 +268,8 @@ def quality_row(text_col: str = "text") -> Column:
         f"element_at(transform(array(split({t}, ' ')), ws ->"
         f" element_at(transform(array(array_distinct(ws)), dw ->"
         f" element_at(transform(array(named_struct({hits_fields},"
-        f" 'pr', length(regexp_replace({t}, '[^.,;:!?]', '')) / length({t}))), h ->"
+        f" 'pr', try_divide(length(regexp_replace({t}, '[^.,;:!?]', '')),"
+        f" length({t})))), h ->"
         f" element_at(transform(array({best}), best ->"
         f" named_struct("
         f" 'lang_pred', CASE WHEN {t} rlike '{cjk_sql}' THEN 'cjk' ELSE {chain} END,"

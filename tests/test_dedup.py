@@ -313,3 +313,40 @@ def test_zero_vector_cosine_is_null_not_nan(spark):
     }
     assert abs(got[1] - 1.0) < 1e-9
     assert got[2] is None
+
+
+def test_quality_row_struct_equals_column_forms(spark):
+    """quality_row (the single-pass inline() struct) and the
+    column-per-feature forms (lang_id + quality_score + top ratios) are two
+    INDEPENDENT Spark implementations of the same spec — they must agree
+    on every field, including adversarial rows (empty, one word,
+    whitespace-heavy, CJK, repeated words)."""
+    rows = [
+        (1, ""),
+        (2, "one"),
+        (3, "the the the the the the the the the the"),
+        (4, "el que de la en un es por y una palabras aqui"),
+        (5, "こんにちは world mixed script text here"),
+        (6, "a b c d e f g h i j k l m n o p q r s t u v w x y z . , ; !"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    via_struct = df.select(
+        "doc_id", F.inline(F.array(textquality.quality_row("text")))
+    ).toPandas()
+    qs = textquality.quality_score("text")
+    via_cols = df.select(
+        "doc_id",
+        textquality.lang_id("text").alias("lang_pred"),
+        qs["n_words"].alias("n_words"),
+        qs["mean_word_len"].alias("mean_word_len"),
+        qs["punct_ratio"].alias("punct_ratio"),
+        qs["stopword_ratio"].alias("stopword_ratio"),
+        textquality.top_word_ratio("text").alias("top_word_ratio"),
+        textquality.top_bigram_ratio("text").alias("top_bigram_ratio"),
+        qs["quality"].alias("quality"),
+    ).toPandas()
+    a = via_struct.sort_values("doc_id").reset_index(drop=True)
+    b = via_cols.sort_values("doc_id").reset_index(drop=True)
+    assert a.astype(str).equals(b.astype(str)), (
+        "struct vs column forms diverged:\n" + a.compare(b).to_string()
+    )

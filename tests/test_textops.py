@@ -150,3 +150,24 @@ def test_route_model_null_modelname_yields_sentinel():
     assert route_model("some-other-prompt", None) is None
     assert mapping_model_with_name(None) == "model does not found"
     assert route_model("some-other-prompt", "") == "gpt-4-latest"
+
+
+def test_find_data_in_string_total_fuzz():
+    """Totality fuzz: arbitrary unicode text (braces, quotes, newlines,
+    control chars included) must never raise in any extraction mode."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ai_service_ocr_grading_handler_spark.core.textops import find_data_in_string
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=300))
+    def run(s):
+        find_data_in_string(s, "ocr")
+        find_data_in_string(s, "claude-json")
+        fb, sc = find_data_in_string(s, "argumentative-essay-ocr")
+        # score is int 0 when nothing matches (reference-faithful); the
+        # Spark UDF float()-wraps it
+        assert isinstance(fb, str) and isinstance(sc, (int, float))
+
+    run()
