@@ -1,0 +1,77 @@
+"""Totality sweep: EVERY per-document operator applied to one adversarial
+frame (empty text, whitespace-only, single char, one giant word, newline
+storms, unicode whitespace, CJK, punctuation-only, NULL) must complete —
+no expression may throw under ANSI mode for a poisoned row. This is the
+systematic form of the one-off regressions that caught the shingle
+sequence crash, the punct_ratio divide-by-zero and the short-embedding
+element_at crash."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ai_service_ocr_grading_handler_spark.operators import (
+    curation,
+    dedup,
+    packing,
+    sampling,
+    textquality,
+)
+
+ADVERSARIAL = [
+    (1, ""),
+    (2, " "),
+    (3, "\n\n\n"),
+    (4, "x"),
+    (5, "w" * 5000),
+    (6, "a\nb\nc\n" * 50),
+    (7, "  　"),
+    (8, "こんにちは世界"),
+    (9, ".,;:!?.,;:!?"),
+    (10, None),
+    (11, "normal words in a short document here"),
+]
+
+
+@pytest.fixture(scope="module")
+def adv(spark):
+    return spark.createDataFrame(ADVERSARIAL, "doc_id bigint, text string")
+
+
+def test_quality_and_fingerprint_columns_total(spark, adv):
+    cols = [
+        F.inline(F.array(textquality.quality_row("text"))),
+    ]
+    assert adv.select("doc_id", *cols).count() == len(ADVERSARIAL)
+    more = adv.select(
+        "doc_id",
+        textquality.bpe_token_count("text").alias("bpe"),
+        textquality.rolling_fingerprint("text").alias("kr"),
+        dedup.shingles_col().alias("sh"),
+        dedup.word_hashes_col("text").alias("wh"),
+        curation.line_dedup("text").alias("ld"),
+        dedup.pii_redact("text").alias("pii"),
+    )
+    assert more.count() == len(ADVERSARIAL)
+
+
+def test_dedup_tiers_total(spark, adv):
+    nn = adv.filter(F.col("text").isNotNull())
+    assert dedup.exact_dedup(nn).count() > 0
+    dedup.jaccard_pairs(nn).count()
+    dedup.minhash_lsh_neardups(nn).count()
+    dedup.simhash_neardup_pairs(nn).count()
+    dedup.paragraph_dedup(nn).count()
+
+
+def test_curation_packing_total(spark, adv):
+    nn = adv.filter(F.col("text").isNotNull())
+    curation.curate_corpus(nn).count()
+    packing.pack_sequences(nn, max_tokens=64).count()
+    packing.chunk_documents(nn, window=10, stride=5).count()
+    df = nn.withColumn("source", F.lit("src1"))
+    sampling.mix_sources(
+        sampling.deterministic_split(df, {"train": 0.9, "val": 0.1}),
+        {"src1": 1.5},
+    ).count()
