@@ -130,7 +130,13 @@ def stateless_curate(
     must not undercount one-word-per-line documents (lists, poetry, code),
     unlike the advisory quality_score whose single-space convention it
     otherwise mirrors."""
-    n_words = F.size(F.split(F.col(text_col), "\\s+"))
+    # trim first: Java split keeps a leading empty token for text starting
+    # with whitespace, which would inflate the count by one past a
+    # destructive gate; the all-whitespace/empty doc counts as 0 words.
+    trimmed = F.trim(F.col(text_col))
+    n_words = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, "\\s+"))
+    )
     gated = df.filter((n_words >= min_words) & (n_words <= max_words))
     return gated.select(
         F.col(id_col),

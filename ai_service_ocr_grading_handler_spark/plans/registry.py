@@ -2229,4 +2229,11 @@ def _reorder_registry() -> None:
 
 
 _reorder_registry()
-assert len(_REGISTRY) <= 50, "driver checks at most 50 queries; keep the registry within it"
+# Hard check, not `assert`: python -O strips asserts, and a 51st
+# registration must fail fast rather than silently fall past the driver's
+# 50-query correctness window.
+if len(_REGISTRY) > 50:
+    raise RuntimeError(
+        f"registry holds {len(_REGISTRY)} queries; the driver checks at most"
+        " 50 — merge or fold an existing entry before adding one"
+    )

@@ -212,6 +212,45 @@ def test_gate_counts_words_across_newlines(spark):
     assert out == {1}
 
 
+def test_decontaminate_matches_across_paragraph_boundary(spark):
+    """A contaminated passage that crosses a line or paragraph boundary in
+    the training doc must still match the benchmark's space-separated
+    n-grams — tokenization normalizes ANY whitespace run (advisor
+    finding: upstream stages rejoin text with \\n / \\n\\n)."""
+    bench_words = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    train = spark.createDataFrame(
+        [
+            # same 13 words, but split across a paragraph boundary
+            (1, "padding words " + bench_words.replace("six seven", "six\n\nseven") + " more padding"),
+            # and across single newlines (line-dedup rejoin shape)
+            (2, "padding words " + bench_words.replace(" ", "\n") + " tail"),
+            (3, "a completely clean document with plenty of words in it"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_words)], "doc_id bigint, text string")
+    from ai_service_ocr_grading_handler_spark.operators import dedup as _dd
+
+    out = {r.doc_id for r in _dd.decontaminate(train, bench).collect()}
+    assert out == {3}
+
+
+def test_gate_ignores_leading_whitespace(spark):
+    """Java split keeps a leading empty token for text starting with
+    whitespace; the gate must count real words only (advisor finding: a
+    4-word doc with a leading space must not pass min_words=5)."""
+    df = spark.createDataFrame(
+        [
+            (1, " four words only here"),
+            (2, "five real words right here"),
+            (3, "   \n  "),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id for r in curation.stateless_curate(df, min_words=5).collect()}
+    assert out == {2}
+
+
 def test_curate_decontaminates_against_scrubbed_benchmark(spark):
     """Benchmark text containing PII-shaped runs must still catch the
     contaminated (scrubbed) training doc (review finding)."""

@@ -110,7 +110,12 @@ def test_simhash_signature_computed_once(spark):
     plan = (
         simhash_neardup_pairs(df)._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("md5") == 1, (
-        f"signature pipeline appears {plan.count('md5')}x (expected once) — "
+    # Count the signature pipeline's specific hash snippet, not the bare
+    # substring 'md5' (advisor finding: any future column/expression merely
+    # containing 'md5' would false-fail, and a signature expressed without
+    # that literal token would false-pass).
+    marker = "substring(md5("
+    assert plan.count(marker) == 1, (
+        f"signature pipeline appears {plan.count(marker)}x (expected once) — "
         "a self-join without exchange reuse doubles the dominant cost"
     )
