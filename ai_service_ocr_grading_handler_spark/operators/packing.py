@@ -33,12 +33,31 @@ def _pack_schema(id_col: str, id_type: str) -> str:
     )
 
 
+def md5_group_id(id_col: str, n_groups: int) -> "F.Column":
+    """md5-derived group assignment — same distribution quality as the
+    default xxhash64 but reproducible in DuckDB, so oracle-checked callers
+    (the registry) can cross-engine-verify the full pack assignment."""
+    return F.expr(
+        f"cast(pmod(cast(conv(substring(md5(cast({id_col} as string)), 1, 15),"
+        f" 16, 10) as bigint), {n_groups}) as int)"
+    )
+
+
+def md5_group_id_duck(id_col: str, n_groups: int) -> str:
+    """DuckDB twin of md5_group_id."""
+    return (
+        f"(('0x' || substr(md5({id_col}::varchar), 1, 15))::bigint"
+        f" % {n_groups})::int"
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int = 2048,
     n_groups: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    group_col: "F.Column | None" = None,
 ) -> DataFrame:
     """(group_id, pack_id, <id_col>, n_tokens, oversize): greedy first-fit in
     id order within each hash group; a document alone exceeding the budget
@@ -48,15 +67,21 @@ def pack_sequences(
     Plan: native token counting -> ONE shuffle on the group key ->
     per-group Arrow-batched greedy pass. Output carries ids + counts only;
     text never crosses the shuffle (join it back by id afterwards if the
-    packed text is needed — at scale that join is id-bucketed)."""
+    packed text is needed — at scale that join is id-bucketed).
+
+    `group_col` overrides the xxhash64 group assignment (e.g.
+    `md5_group_id` for cross-engine oracle checks); it must be
+    deterministic in `id_col` or packing loses resume-determinism."""
     import pandas as pd
 
     counted = df.select(
         F.col(id_col),
         bpe_token_count(text_col).alias("n_tokens"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups))
-        .cast("int")
-        .alias("group_id"),
+        (
+            group_col
+            if group_col is not None
+            else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast("int")
+        ).alias("group_id"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -60,6 +60,31 @@ def oracle_sql() -> dict[str, str]:
     return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
 
 
+# Library tier: fully-oracled queries OUTSIDE the driver's 50-slot
+# correctness window. Same contract as the registry (spark_fn, oracle_sql),
+# same pytest parity gate (tests/test_registry_parity.py parametrizes over
+# BOTH dicts) — only the external driver's per-round check skips them. Used
+# for redundant built-in-family demonstrations whose slots were re-spent on
+# the training-data curation tier.
+_LIBRARY: dict[str, tuple[SparkQuery, str | None]] = {}
+
+
+def register_library(name: str, sql: str | None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        _LIBRARY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def library_queries() -> dict[str, SparkQuery]:
+    return {k: v[0] for k, v in _LIBRARY.items()}
+
+
+def library_oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _LIBRARY.items() if v[1] is not None}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -655,7 +680,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.exact_dedup(_dd.dup_corpus(spark, sf_dir)).orderBy("canonical_id")
 
 
-@register(
+@register_library(
     "ngram_jaccard_pairs",
     f"""
     WITH dup AS ({_dd.DUP_CORPUS_DUCK}),
@@ -1139,7 +1164,7 @@ def q_prompt_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_library(
     "events_lag_frames",
     """
     SELECT event_id, user_id,
@@ -1526,7 +1551,7 @@ def q_question_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
+@register_library(
     "asof_latest_value",
     """
     WITH marks AS (
@@ -1602,7 +1627,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_library(
     "pivot_event_counts",
     """
     SELECT date_trunc('day', ts) AS day_ts,
@@ -1776,7 +1801,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_library(
     "events_sliding_window",
     """
     WITH buckets AS (
@@ -1812,7 +1837,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_library(
     "lineitem_unpivot",
     """
     SELECT measure, round(sum(amount), 2) AS total
@@ -2195,6 +2220,233 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data curation tier (driver-checked): paragraph dedup, the
+# end-to-end curation composite, sequence packing, long-doc chunking,
+# deterministic split+mix, and benchmark decontamination. Inputs derive
+# deterministically from `documents` (para_corpus plants paragraph
+# structure, shared boilerplate, PII and exact copies — identically
+# expressed in Spark and DuckDB, same pattern as dup_corpus).
+# ---------------------------------------------------------------------------
+
+from ai_service_ocr_grading_handler_spark.operators import curation as _cur
+from ai_service_ocr_grading_handler_spark.operators import packing as _pk
+from ai_service_ocr_grading_handler_spark.operators import sampling as _samp
+
+_PARA_SQL_STAGES = """
+    paras AS (
+      SELECT doc_id, u.idx, u.para FROM {src},
+        LATERAL (SELECT unnest(string_split(text, chr(10)||chr(10))) AS para,
+                        generate_subscripts(string_split(text, chr(10)||chr(10)), 1) AS idx) u
+      WHERE trim(u.para) <> ''
+    ),
+    keepers AS (
+      SELECT doc_id, idx, para FROM (
+        SELECT doc_id, idx, para,
+               row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn
+        FROM paras
+      ) WHERE rn = 1
+    ),
+    rebuilt AS (
+      SELECT s.doc_id,
+             coalesce(string_agg(k.para, chr(10)||chr(10) ORDER BY k.idx), '')
+               AS dedup_text
+      FROM {src} s LEFT JOIN keepers k USING (doc_id)
+      GROUP BY s.doc_id
+    )
+"""
+
+
+@register(
+    "paragraph_dedup",
+    f"""
+    WITH corpus AS ({_dd.PARA_CORPUS_DUCK}),
+    {_PARA_SQL_STAGES.format(src='corpus')}
+    SELECT doc_id, dedup_text FROM rebuilt
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma/CCNet-style paragraph-level exact dedup over the
+    paragraph-structured corpus: every repeated paragraph (the planted
+    boilerplate, the PII paragraph post-hoc, the +1M exact copies'
+    paragraphs) survives only at its first (doc_id, idx) occurrence; the
+    oracle derives the same result via an independent window-function
+    formulation. One shuffle on the paragraph hash + one reassembly
+    groupBy — paragraph text crosses the shuffle once."""
+    return _dd.paragraph_dedup(_dd.para_corpus(spark, sf_dir))
+
+
+_CURATE_GATE_DUCK = (
+    "CASE WHEN trim(text) = '' THEN 0"
+    " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END BETWEEN 5 AND 10000"
+)
+
+
+@register(
+    "curate_corpus",
+    f"""
+    WITH corpus AS ({_dd.PARA_CORPUS_DUCK}),
+    scrubbed AS (
+      SELECT doc_id,
+             {_cur.line_dedup_duck(_dd.pii_redact_duck('text'))} AS text
+      FROM corpus
+      WHERE {_CURATE_GATE_DUCK}
+    ),
+    uniq AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM scrubbed
+      ) WHERE rn = 1
+    ),
+    {_PARA_SQL_STAGES.format(src='uniq')}
+    SELECT doc_id, dedup_text AS text FROM rebuilt WHERE dedup_text <> ''
+    """,
+)
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composite (C4/Gopher/Dolma stage order): length
+    gate -> PII scrub -> intra-doc line dedup -> exact dedup (window over
+    md5(text)) -> paragraph-level dedup -> drop emptied docs. The oracle
+    chains the independently-verified DuckDB stage twins, so a value match
+    certifies the whole pipeline's composition, not just its parts."""
+    return _cur.curate_corpus(_dd.para_corpus(spark, sf_dir))
+
+
+_PACK_MAX = 256
+_PACK_GROUPS = 16
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH RECURSIVE counted AS (
+      SELECT doc_id, {_tq.duck_bpe_token_count('text')}::int AS n_tokens,
+             {_pk.md5_group_id_duck('doc_id', _PACK_GROUPS)} AS group_id
+      FROM documents
+    ),
+    ordered AS (
+      SELECT *, row_number() OVER (PARTITION BY group_id ORDER BY doc_id) AS rn
+      FROM counted
+    ),
+    rec AS (
+      SELECT group_id, doc_id, n_tokens, rn,
+             0::bigint AS pack_id,
+             n_tokens::bigint AS ct1,
+             (CASE WHEN n_tokens >= {_PACK_MAX} THEN 1 ELSE 0 END)::bigint AS cp_post,
+             (CASE WHEN n_tokens >= {_PACK_MAX} THEN 0 ELSE n_tokens END)::bigint AS ct_post
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      -- lateral aliases must NOT reuse rec's column names (pack_id/ct1):
+      -- the recursive table's columns shadow same-named lateral aliases,
+      -- silently reading the PREVIOUS row's state (found by value oracle)
+      SELECT o.group_id, o.doc_id, o.n_tokens, o.rn,
+             CASE WHEN r.ct_post > 0 AND r.ct_post + o.n_tokens > {_PACK_MAX}
+                  THEN r.cp_post + 1 ELSE r.cp_post END AS new_pack,
+             CASE WHEN r.ct_post > 0 AND r.ct_post + o.n_tokens > {_PACK_MAX}
+                  THEN o.n_tokens ELSE r.ct_post + o.n_tokens END AS new_ct,
+             CASE WHEN new_ct >= {_PACK_MAX} THEN new_pack + 1 ELSE new_pack END,
+             CASE WHEN new_ct >= {_PACK_MAX} THEN 0 ELSE new_ct END
+      FROM rec r JOIN ordered o ON o.group_id = r.group_id AND o.rn = r.rn + 1
+    )
+    SELECT group_id, pack_id, doc_id, n_tokens,
+           n_tokens > {_PACK_MAX} AS oversize
+    FROM rec
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit sequence packing (the GPT-style pretraining step):
+    native BPE-ish token counting -> ONE shuffle on an md5-derived group
+    key -> per-group Arrow-batched greedy pass. The oracle replays the
+    greedy recurrence with a recursive CTE, value-checking every (group,
+    pack, doc) assignment — the applyInPandas kernel is held to exact
+    cross-engine parity, not just row counts."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _pk.pack_sequences(
+        docs,
+        max_tokens=_PACK_MAX,
+        n_groups=_PACK_GROUPS,
+        group_col=_pk.md5_group_id("doc_id", _PACK_GROUPS),
+    )
+
+
+@register(
+    "chunk_documents",
+    f"""
+    SELECT doc_id, chunk_idx::int AS chunk_idx, chunk_text,
+           len(string_split(chunk_text, ' '))::int AS n_words
+    FROM ({_pk.chunk_documents_duck(window=40, stride=30)})
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document word-window chunking with overlap (window 40, stride
+    30): pure per-row expressions + one posexplode — zero shuffle, zero
+    Python; how oversize documents from pack_sequences become trainable
+    pieces without silent truncation."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _pk.chunk_documents(docs, window=40, stride=30)
+
+
+_SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
+_MIX_RATES = {"src0": 0.5, "src1": 2.5, "src2": 0.0}
+
+
+@register(
+    "split_and_mix",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             CASE WHEN {_samp.hash_frac_duck('doc_id', 'split')} < 0.8 THEN 'train'
+                  WHEN {_samp.hash_frac_duck('doc_id', 'split')} < 0.9 THEN 'val'
+                  ELSE 'test' END AS split,
+             {_samp.mix_sources_duck_n_copies(_MIX_RATES)} AS n_copies
+      FROM documents
+    )
+    SELECT doc_id, source, split, c.copy::int AS copy
+    FROM assigned, LATERAL (SELECT unnest(range(0, n_copies)) AS copy) c
+    """,
+)
+def q_split_and_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (md5-fraction thresholds — a
+    document's split never changes across runs or corpus growth) composed
+    with Pile/Dolma-style source mixture weighting (downsample src0 0.5x,
+    upsample src1 2.5x, drop src2). Scan-speed expressions + one
+    posexplode; the oracle value-checks every assignment and copy."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    mixed = _samp.mix_sources(
+        _samp.deterministic_split(docs, _SPLIT_W), _MIX_RATES
+    )
+    return mixed.select("doc_id", "source", "split", "copy")
+
+
+@register(
+    "decontaminate",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({_dd._ngram_h60_duck('text', 13)}) AS g
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    train_grams AS (
+      SELECT doc_id, unnest({_dd._ngram_h60_duck('text', 13)}) AS g
+      FROM documents
+    ),
+    dirty AS (
+      SELECT DISTINCT t.doc_id FROM train_grams t JOIN bench b ON t.g = b.g
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/C4 recipe): every training document
+    sharing ANY whitespace-normalized word 13-gram with the benchmark set
+    (here: the doc_id %97 sample standing in for an eval suite) is dropped
+    via a broadcast anti-join — zero corpus shuffle; hashes are md5-derived
+    so the oracle value-checks the surviving id set."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return _dd.decontaminate(docs, bench).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
 # Priority ordering: the driver correctness-checks queries() in dict order
 # (round 1 checked exactly the first 50 of 57, leaving the flagship
 # generate_update_records unchecked). The registry is capped at 50 entries
@@ -2208,13 +2460,18 @@ _PRIORITY = [
     "extract_layout_docs",
     "content_block_spans",
     "minhash_lsh_neardups",
+    "curate_corpus",
+    "paragraph_dedup",
+    "pack_sequences",
+    "chunk_documents",
+    "split_and_mix",
+    "decontaminate",
     "message_dialects",
     "message_dialects_vision",
     "credit_writeback",
     "question_format",
     "corpus_top_ngrams",
     "label_centroids",
-    "lineitem_unpivot",
     "grade_requests",
     "ensemble_number_batch",
     "essay_fanout_concat",

@@ -37,12 +37,15 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
 
 
-_ORACLES = registry.oracle_sql()
+# Driver-window queries AND library-tier queries (fully oracled but outside
+# the external driver's 50-slot window) get the identical parity gate here.
+_ORACLES = {**registry.oracle_sql(), **registry.library_oracle_sql()}
+_QUERIES = {**registry.queries(), **registry.library_queries()}
 
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_query_matches_oracle(spark, sf_correct, name):
-    q = registry.queries()[name]
+    q = _QUERIES[name]
     got = _canon(q(spark, sf_correct).toPandas())
     con = _duck(sf_correct)
     want = _canon(con.execute(_ORACLES[name]).df())
@@ -55,7 +58,9 @@ def test_query_matches_oracle(spark, sf_correct, name):
 
 
 def test_every_query_has_sql_or_documented_exemption():
-    missing = set(registry.queries()) - set(_ORACLES)
+    missing = (set(registry.queries()) | set(registry.library_queries())) - set(
+        _ORACLES
+    )
     # non-SQL-expressible ops must be listed here with a reason; currently
     # every registered query has a full DuckDB value oracle.
     allowed_rows_only: set[str] = set()
