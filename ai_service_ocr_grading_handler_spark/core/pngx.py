@@ -1,0 +1,165 @@
+"""Pure-stdlib PNG codec: decode (and a minimal encode for fixtures).
+
+Why this exists: the multimodal tier's `decode_pixels` occupies the
+reference's real image-decode position (`cv2.imdecode`,
+/root/reference/engine/core/llm_number_prediction.py:39-55), but this
+runtime ships no image library — PIL/cv2 probes always skipped. PNG,
+however, is decodable with nothing but `zlib` + `struct`: IDAT is a zlib
+stream and the per-scanline filters (None/Sub/Up/Average/Paeth) are
+arithmetic over the previous row/pixel. This module implements exactly
+that (PNG spec, RFC 2083), so the capability probe runs FOR REAL here.
+
+Scope: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+4 (gray+alpha), 6 (RGBA), non-interlaced — the overwhelming web majority.
+16-bit and Adam7 interlacing raise NotImplementedError (the caller's
+codec-gate contract). Output is raw RGB24, alpha dropped (matching
+PIL's ``convert("RGB")`` channel-drop semantics for RGBA input).
+
+Performance note: unfiltering is per-byte Python — fine for the kernel's
+capability-probe position and tests; a production pixel pipeline would
+vectorize with numpy per row (documented, not needed for the contract).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+# samples per pixel by PNG color type
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def is_png(data: bytes) -> bool:
+    return bytes(data[:8]) == _SIG
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> tuple[int, int, str, bytes]:
+    """PNG bytes -> (width, height, "RGB", raw RGB24 bytes)."""
+    data = bytes(data)
+    if not is_png(data):
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    palette = b""
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + body + crc (crc not verified)
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif ctype == b"PLTE":
+            palette = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8 supported)")
+    if interlace != 0:
+        raise NotImplementedError("interlaced PNG not supported")
+    if color_type not in _CHANNELS:
+        raise NotImplementedError(f"PNG color type {color_type}")
+    ch = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG IDAT length mismatch")
+
+    # unfilter scanlines in place
+    out = bytearray(stride * height)
+    prev_start = -1
+    for y in range(height):
+        rpos = y * (stride + 1)
+        ftype = raw[rpos]
+        line = bytearray(raw[rpos + 1 : rpos + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            if prev_start >= 0:
+                for i in range(stride):
+                    line[i] = (line[i] + out[prev_start + i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                up = out[prev_start + i] if prev_start >= 0 else 0
+                line[i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                up = out[prev_start + i] if prev_start >= 0 else 0
+                ul = out[prev_start + i - ch] if (prev_start >= 0 and i >= ch) else 0
+                line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        start = y * stride
+        out[start : start + stride] = line
+        prev_start = start
+
+    # channel conversion -> RGB24 (alpha dropped, PIL convert("RGB") style)
+    if color_type == 2:
+        rgb = bytes(out)
+    elif color_type == 0:
+        rgb = bytes(v for v in out for _ in (0, 1, 2))
+    elif color_type == 4:
+        rgb = bytes(
+            out[i] for i in range(0, len(out), 2) for _ in (0, 1, 2)
+        )
+    elif color_type == 6:
+        rgb = bytearray()
+        for i in range(0, len(out), 4):
+            rgb += out[i : i + 3]
+        rgb = bytes(rgb)
+    else:  # palette
+        if not palette:
+            raise ValueError("palette PNG missing PLTE")
+        rgb = bytearray()
+        for v in out:
+            rgb += palette[3 * v : 3 * v + 3]
+        rgb = bytes(rgb)
+    return width, height, "RGB", rgb
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal RGB24 -> PNG encoder (filter 0 everywhere) for fixtures and
+    round-trip tests; real sinks would use an image library."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    scan = b"".join(
+        b"\x00" + rgb[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan, 6))
+        + chunk(b"IEND", b"")
+    )

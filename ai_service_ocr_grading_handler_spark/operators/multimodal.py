@@ -63,20 +63,28 @@ def unpack_media(blob: bytes) -> tuple[str, int, int, bytes]:
 
 def decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     """Real image decode (K-family image path, llm_number_prediction.py:
-    39-55 cv2.imdecode): a CAPABILITY PROBE, not a dead stub — when PIL is
-    importable this decodes for real (returns (width, height, mode,
-    raw RGB bytes)); in runtimes without a codec it raises
-    NotImplementedError so callers can gate the pixel branch. The
-    Spark-side plumbing (binary column in, typed columns out) is identical
-    either way and is what the pipeline exercises.
-    tests/test_multimodal.py covers BOTH branches (skip-marked)."""
+    39-55 cv2.imdecode) returning (width, height, "RGB", raw RGB bytes).
+
+    Codec resolution order:
+    1. PIL when importable (full format coverage);
+    2. the pure-stdlib PNG decoder (`core.pngx`) for PNG payloads — zlib
+       IDAT inflate + scanline unfiltering, so this branch runs FOR REAL
+       even in runtimes with no image library (this sandbox);
+    3. otherwise NotImplementedError so callers can gate the pixel branch
+       (non-PNG formats genuinely need a codec library).
+    The Spark-side plumbing (binary column in, typed columns out) is
+    identical on every branch. tests/test_multimodal.py covers all three."""
     try:
         import PIL.Image
-    except ImportError as e:
+    except ImportError:
+        from ai_service_ocr_grading_handler_spark.core import pngx
+
+        if pngx.is_png(payload):
+            return pngx.decode_png(payload)
         raise NotImplementedError(
-            "pixel decode requires an image codec library (PIL/cv2), "
-            "not available in this runtime"
-        ) from e
+            "pixel decode for non-PNG formats requires an image codec "
+            "library (PIL/cv2), not available in this runtime"
+        )
     import io
 
     with PIL.Image.open(io.BytesIO(payload)) as im:

