@@ -166,8 +166,35 @@ def run_extract(
     return manifest
 
 
+class SimulatedCrash(RuntimeError):
+    """Raised by merge_upsert's test-only fault-injection hook: emulates
+    the process dying at a named point in the commit sequence. Production
+    callers never pass `_crash_after`."""
+
+
+def read_ledger(spark: SparkSession, ledger_dir: str) -> DataFrame | None:
+    """Reader contract for the versioned ledger: resolve the `current`
+    pointer, then read that version ONLY if its directory is a committed
+    parquet write (_SUCCESS present). This is exactly how merge_upsert
+    resolves its base, so readers and writers can never disagree about
+    which version is live — the snapshot-pointer isolation Iceberg gives.
+    Returns None for an empty/uninitialized ledger."""
+    root = Path(ledger_dir)
+    pointer = root / "current"
+    if not pointer.exists():
+        return None
+    vdir = root / pointer.read_text().strip()
+    if vdir.exists() and _committed_parquet(vdir):
+        return spark.read.parquet(str(vdir))
+    return None
+
+
 def merge_upsert(
-    spark: SparkSession, ledger_dir: str, updates: DataFrame, key: str
+    spark: SparkSession,
+    ledger_dir: str,
+    updates: DataFrame,
+    key: str,
+    _crash_after: str | None = None,
 ) -> DataFrame:
     """S12 keyed write-back: the reference's Mongo
     `update_one({key}, {$set: ...}, upsert=True)` (database_calling.py:26-35)
@@ -188,14 +215,15 @@ def merge_upsert(
     MATCHED THEN INSERT *`. One shuffle on the key; at 100 TB the ledger and
     updates are bucketed on the key so the anti-join is co-located.
     """
+    def _crash(point: str) -> None:
+        if _crash_after == point:
+            raise SimulatedCrash(point)
+
     root = Path(ledger_dir)
     root.mkdir(parents=True, exist_ok=True)
     pointer = root / "current"
-    base = None
-    if pointer.exists():
-        vdir = root / pointer.read_text().strip()
-        if vdir.exists() and _committed_parquet(vdir):
-            base = spark.read.parquet(str(vdir))
+    base = read_ledger(spark, ledger_dir)
+    _crash("read_base")
     # one row per key in the applied update set: MERGE semantics forbid
     # multiple matches for one key (Iceberg errors; Mongo's update_one
     # applies them serially). A batch frame has no arrival order, so the
@@ -218,9 +246,12 @@ def merge_upsert(
     )
     version = f"v{int(pointer.read_text().strip()[1:]) + 1}" if pointer.exists() else "v0"
     merged.write.mode("overwrite").parquet(str(root / version))
+    _crash("write_version")
     tmp = root / "current.tmp"
     tmp.write_text(version)
+    _crash("write_tmp")
     tmp.replace(pointer)  # atomic pointer swap = commit
+    _crash("swap")
     # GC superseded snapshots, keeping current + one predecessor (the
     # reader-isolation window): without this every merge retained a full
     # ledger copy forever — disk = ledger size x merge count (found by
@@ -231,6 +262,7 @@ def merge_upsert(
     for vdir in root.glob("v*"):
         if vdir.is_dir() and vdir.name not in keep:
             _sh.rmtree(vdir, ignore_errors=True)
+    _crash("gc")
     return spark.read.parquet(str(root / version))
 
 
