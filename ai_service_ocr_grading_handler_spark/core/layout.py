@@ -82,19 +82,35 @@ def unpack_layout(blob: bytes) -> list[Box]:
 
 
 def parse_pdf_bytes(blob: bytes) -> list[Box]:
-    """REAL PDF codec — a CAPABILITY PROBE: when pypdf is importable this
-    parses actual PDF bytes into positioned text Boxes (text-matrix x/y,
-    font size; PDF y-up flipped to the layout kernel's y-down), feeding the
-    same codec-agnostic XY-cut analysis as the box container. In runtimes
-    without a parser it raises NotImplementedError so callers gate the PDF
-    branch. tests/test_layout.py covers both branches (skip-marked)."""
+    """REAL PDF codec: parses PDF bytes into positioned text Boxes
+    (text-matrix x/y through the CTM, font size; PDF y-up flipped to the
+    layout kernel's y-down), feeding the same codec-agnostic XY-cut
+    analysis as the box container.
+
+    Codec resolution: pypdf when importable (full format coverage);
+    otherwise the pure-stdlib content-stream interpreter (`core.pdfx`) —
+    classic-xref PDFs with raw/FlateDecode streams — so this branch runs
+    FOR REAL in runtimes with no PDF library (this sandbox). Both branches
+    apply identical Box math; exotic PDFs (object streams, CMap fonts)
+    raise from pdfx and need a library."""
     try:
         from pypdf import PdfReader
-    except ImportError as e:
-        raise NotImplementedError(
-            "PDF decoding needs a parser library (pypdf/pdfminer), "
-            "not available in this runtime; use the box container"
-        ) from e
+    except ImportError:
+        from ai_service_ocr_grading_handler_spark.core import pdfx
+
+        boxes: list[Box] = []
+        for pno, x, y, fs, text, page_h in pdfx.extract_text_boxes(blob):
+            t = text.strip()
+            if not t:
+                continue
+            fsz = float(fs or 10.0)
+            boxes.append(
+                Box(
+                    pno, x, page_h - y - fsz, x + 0.5 * fsz * len(t),
+                    page_h - y, int(round(fsz)), t,
+                )
+            )
+        return boxes
     import io
 
     boxes: list[Box] = []

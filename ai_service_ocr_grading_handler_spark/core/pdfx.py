@@ -1,0 +1,285 @@
+"""Pure-stdlib minimal PDF text extractor for the layout tier.
+
+Why this exists: `layout.parse_pdf_bytes` occupies the reference's
+document-parse position, but this runtime has no PDF library, so the real
+branch never executed here. A *minimal* PDF is parseable with stdlib only:
+objects are plain text, content streams are zlib (FlateDecode) or raw, and
+positioned text is a small operator language (BT/ET, Tf, Td/TD/Tm/T*,
+Tj/'/TJ, cm, q/Q). This module implements exactly that subset and emits
+(page, x, y, font_size, text) tuples in *PDF user space* (y-up); the
+caller applies the same y-flip/em-box math as the pypdf branch so both
+codecs feed the XY-cut kernel identically.
+
+Scope (documented contract, ValueError/NotImplementedError beyond it):
+- classic xref PDFs with uncompressed object structure (`N 0 obj ...
+  endobj` scannable); object streams (/ObjStm) are NOT supported;
+- content streams raw or FlateDecode;
+- literal `(...)` strings with escapes and hex `<...>` strings, Latin-1
+  bytes (no CMap/TrueType cmap decoding — fixture-grade text);
+- text ops BT ET Tf Td TD Tm T* Tj ' TJ, graphics ops cm q Q. TJ emits
+  each string element at the current text matrix (no glyph-advance
+  simulation) — XY-cut needs band positions, not kerning.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+
+
+def _find_objects(blob: bytes) -> dict[int, bytes]:
+    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(blob)}
+
+
+def _ref(body: bytes, name: bytes) -> int | None:
+    m = re.search(rb"/" + name + rb"\s+(\d+)\s+\d+\s+R", body)
+    return int(m.group(1)) if m else None
+
+
+def _refs_array(body: bytes, name: bytes) -> list[int]:
+    m = re.search(rb"/" + name + rb"\s*\[(.*?)\]", body, re.DOTALL)
+    if m:
+        return [int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R", m.group(1))]
+    single = _ref(body, name)
+    return [single] if single is not None else []
+
+
+def _media_box(body: bytes) -> tuple[float, float, float, float] | None:
+    m = re.search(rb"/MediaBox\s*\[\s*([-\d.\s]+?)\s*\]", body)
+    if not m:
+        return None
+    vals = [float(v) for v in m.group(1).split()]
+    if len(vals) != 4:
+        return None
+    return tuple(vals)  # type: ignore[return-value]
+
+
+def _page_objects(objs: dict[int, bytes]) -> list[tuple[bytes, tuple]]:
+    """Pages in document order via the /Root -> /Pages -> /Kids tree, with
+    MediaBox inheritance. Returns (page_body, mediabox) pairs."""
+    root_num = None
+    for body in objs.values():
+        if b"/Type" in body and b"/Catalog" in body:
+            root_num = _ref(body, b"Pages")
+            break
+    pages: list[tuple[bytes, tuple]] = []
+
+    def walk(num: int, inherited_mb) -> None:
+        body = objs.get(num)
+        if body is None:
+            return
+        mb = _media_box(body) or inherited_mb
+        if b"/Kids" in body:
+            for kid in _refs_array(body, b"Kids"):
+                walk(kid, mb)
+        else:
+            pages.append((body, mb or (0.0, 0.0, 612.0, 792.0)))
+
+    if root_num is not None:
+        walk(root_num, None)
+    if not pages:  # degenerate: no catalog — take any /Type /Page objects
+        for num in sorted(objs):
+            body = objs[num]
+            if b"/Type" in body and b"/Page" in body and b"/Pages" not in body:
+                pages.append((body, _media_box(body) or (0.0, 0.0, 612.0, 792.0)))
+    return pages
+
+
+def _content_bytes(page_body: bytes, objs: dict[int, bytes]) -> bytes:
+    out = []
+    for num in _refs_array(page_body, b"Contents"):
+        body = objs.get(num, b"")
+        m = _STREAM_RE.search(body)
+        if not m:
+            continue
+        data = m.group(1)
+        if b"/FlateDecode" in body:
+            data = zlib.decompress(data)
+        elif b"/Filter" in body:
+            raise NotImplementedError("only FlateDecode/raw content streams")
+        out.append(data)
+    return b"\n".join(out)
+
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _read_literal_string(data: bytes, i: int) -> tuple[str, int]:
+    """data[i] == '(' — parse a PDF literal string, return (text, next_i)."""
+    depth = 1
+    out = bytearray()
+    i += 1
+    n = len(data)
+    while i < n and depth:
+        c = data[i : i + 1]
+        if c == b"\\" and i + 1 < n:
+            nxt = data[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal (up to 3 digits)
+                j = i + 1
+                while j < min(i + 4, n) and data[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(data[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            i += 2  # line continuation / unknown escape: drop backslash
+            continue
+        if c == b"(":
+            depth += 1
+        elif c == b")":
+            depth -= 1
+            if not depth:
+                i += 1
+                break
+        out += c
+        i += 1
+    return out.decode("latin-1"), i
+
+
+def _mat_mul(a, b):
+    """3x3 affine (as 6-tuple) product a×b (PDF row-vector convention)."""
+    return (
+        a[0] * b[0] + a[1] * b[2],
+        a[0] * b[1] + a[1] * b[3],
+        a[2] * b[0] + a[3] * b[2],
+        a[2] * b[1] + a[3] * b[3],
+        a[4] * b[0] + a[5] * b[2] + b[4],
+        a[4] * b[1] + a[5] * b[3] + b[5],
+    )
+
+
+_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _run_content(data: bytes):
+    """Interpret a content stream; yield (x, y, font_size, text) in user
+    space — text origin mapped through tm × CTM, exactly the transform the
+    pypdf visitor branch applies."""
+    ctm = _ID
+    stack: list[tuple] = []
+    tm = tlm = _ID
+    fs = 10.0
+    leading = 0.0
+    operands: list = []
+
+    def emit(s: str):
+        tx, ty = tm[4], tm[5]
+        x = ctm[0] * tx + ctm[2] * ty + ctm[4]
+        y = ctm[1] * tx + ctm[3] * ty + ctm[5]
+        return (x, y, fs, s)
+
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i : i + 1]
+        if c.isspace():
+            i += 1
+            continue
+        if c == b"(":
+            s, i = _read_literal_string(data, i)
+            operands.append(s)
+            continue
+        if c == b"<" and data[i + 1 : i + 2] != b"<":
+            j = data.index(b">", i)
+            hexs = re.sub(rb"\s", b"", data[i + 1 : j])
+            if len(hexs) % 2:
+                hexs += b"0"
+            operands.append(bytes.fromhex(hexs.decode()).decode("latin-1"))
+            i = j + 1
+            continue
+        if c == b"<":  # inline dict <<...>> — skip balanced
+            j = data.index(b">>", i)
+            i = j + 2
+            continue
+        if c == b"[":
+            operands.append("[")
+            i += 1
+            continue
+        if c == b"]":
+            # collapse array contents into one list operand
+            arr = []
+            while operands and operands[-1] != "[":
+                arr.append(operands.pop())
+            if operands:
+                operands.pop()
+            operands.append(list(reversed(arr)))
+            i += 1
+            continue
+        m = re.match(rb"[-+.\d][-+.\d]*|/[^\s/\[\]()<>{}]*|[A-Za-z'\"*]+", data[i:])
+        if not m:
+            i += 1
+            continue
+        tok = m.group(0)
+        i += len(tok)
+        t = tok.decode("latin-1")
+        if t[0] in "-+.0123456789":
+            operands.append(float(t))
+            continue
+        if t[0] == "/":
+            operands.append(t)
+            continue
+        # operator
+        if t == "BT":
+            tm = tlm = _ID
+        elif t == "ET":
+            pass
+        elif t == "Tf" and len(operands) >= 2:
+            fs = float(operands[-1])
+        elif t in ("Td", "TD") and len(operands) >= 2:
+            ty = float(operands[-1])
+            tx = float(operands[-2])
+            if t == "TD":
+                leading = -ty
+            tlm = _mat_mul((1, 0, 0, 1, tx, ty), tlm)
+            tm = tlm
+        elif t == "TL" and operands:
+            leading = float(operands[-1])
+        elif t == "Tm" and len(operands) >= 6:
+            tm = tlm = tuple(float(v) for v in operands[-6:])
+        elif t == "T*":
+            tlm = _mat_mul((1, 0, 0, 1, 0, -leading), tlm)
+            tm = tlm
+        elif t == "Tj" and operands:
+            yield emit(str(operands[-1]))
+        elif t == "'" and operands:
+            tlm = _mat_mul((1, 0, 0, 1, 0, -leading), tlm)
+            tm = tlm
+            yield emit(str(operands[-1]))
+        elif t == "TJ" and operands and isinstance(operands[-1], list):
+            for el in operands[-1]:
+                if isinstance(el, str) and el:
+                    yield emit(el)
+        elif t == "cm" and len(operands) >= 6:
+            ctm = _mat_mul(tuple(float(v) for v in operands[-6:]), ctm)
+        elif t == "q":
+            stack.append(ctm)
+        elif t == "Q" and stack:
+            ctm = stack.pop()
+        operands.clear()
+
+
+def extract_text_boxes(blob: bytes):
+    """PDF bytes -> list of (page_no, x, y, font_size, text, page_height,
+    mediabox_x0, mediabox_y0) in PDF user space (y-up). The caller flips to
+    the layout kernel's y-down space."""
+    blob = bytes(blob)
+    if not blob.startswith(b"%PDF"):
+        raise ValueError("not a PDF (missing %PDF header)")
+    objs = _find_objects(blob)
+    if not objs:
+        raise ValueError("no parseable PDF objects (object streams unsupported)")
+    out = []
+    for pno, (page_body, mb) in enumerate(_page_objects(objs)):
+        data = _content_bytes(page_body, objs)
+        page_h = mb[3] - mb[1]
+        for x, y, fs, text in _run_content(data):
+            out.append((pno, x - mb[0], y - mb[1], fs, text, page_h))
+    return out
