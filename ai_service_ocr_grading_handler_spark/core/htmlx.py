@@ -1,7 +1,7 @@
 """Main-content extraction core: block segmentation + boilerplate classification.
 
 This is the pure-Python "oracle" kernel. The Spark side applies EXACTLY this
-module inside an Arrow-batched ``mapInPandas`` (see
+module inside an Arrow-native ``mapInArrow`` kernel (see
 ``ai_service_ocr_grading_handler_spark.operators.extract``), so per-url byte-identity between the
 distributed pipeline and this oracle holds by construction — the hard part
 (and what the tests enforce) is that the kernel is a pure function of the
@@ -25,7 +25,6 @@ script/style raw-text elements, and entity unescaping.
 from __future__ import annotations
 
 import html as _html
-import math
 import re
 from dataclasses import dataclass, field
 

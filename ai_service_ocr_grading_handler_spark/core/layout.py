@@ -1,12 +1,12 @@
 """Layout-aware text segmentation for paginated documents (the PDF half of
 the north star's extraction kernel).
 
-A real PDF codec is not in this runtime, so — per the build contract — the
-CODEC is stubbed (`parse_pdf_bytes` raises NotImplementedError unless a
-parser library is importable) while the LAYOUT ANALYSIS is fully real and
-operates on a deterministic binary container of positioned text boxes
-(`pack_layout`/`unpack_layout`), the same shape any codec emits:
-(page, x0, y0, x1, y1, font_size, text).
+The CODEC runs for real in every runtime: `parse_pdf_bytes` uses pypdf
+when importable, else the stdlib content-stream interpreter `core.pdfx`
+(exotic PDFs — object streams, CMap fonts — raise there). The LAYOUT
+ANALYSIS is codec-agnostic and operates on a deterministic binary
+container of positioned text boxes (`pack_layout`/`unpack_layout`), the
+same shape any codec emits: (page, x0, y0, x1, y1, font_size, text).
 
 Algorithms (standard published techniques, implemented from scratch):
 - **column clustering**: per page, boxes whose x-intervals overlap

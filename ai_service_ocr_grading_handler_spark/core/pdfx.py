@@ -124,14 +124,20 @@ def _read_literal_string(data: bytes, i: int) -> tuple[str, int]:
                 out += _ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal (up to 3 digits)
+            if nxt in b"01234567":  # octal (up to 3 OCTAL digits — \8/\9
+                # are unknown escapes whose backslash is dropped, per spec)
                 j = i + 1
-                while j < min(i + 4, n) and data[j : j + 1].isdigit():
+                while j < min(i + 4, n) and data[j] in b"01234567":
                     j += 1
                 out.append(int(data[i + 1 : j], 8) & 0xFF)
                 i = j
                 continue
-            i += 2  # line continuation / unknown escape: drop backslash
+            if nxt in (b"\r", b"\n"):  # line continuation: drop both
+                i += 2
+                if nxt == b"\r" and data[i : i + 1] == b"\n":
+                    i += 1
+            else:  # unknown escape (\8, \9, ...): drop backslash, KEEP char
+                i += 1
             continue
         if c == b"(":
             depth += 1
@@ -195,9 +201,24 @@ def _run_content(data: bytes):
             operands.append(bytes.fromhex(hexs.decode()).decode("latin-1"))
             i = j + 1
             continue
-        if c == b"<":  # inline dict <<...>> — skip balanced
-            j = data.index(b">>", i)
-            i = j + 2
+        if c == b"<":  # inline dict <<...>> — skip with nesting depth
+            depth = 0
+            j = i
+            while j < n - 1:
+                pair = data[j : j + 2]
+                if pair == b"<<":
+                    depth += 1
+                    j += 2
+                elif pair == b">>":
+                    depth -= 1
+                    j += 2
+                    if depth == 0:
+                        break
+                elif data[j : j + 1] == b"(":
+                    _, j = _read_literal_string(data, j)  # strings may hold << >>
+                else:
+                    j += 1
+            i = j
             continue
         if c == b"[":
             operands.append("[")
@@ -227,6 +248,10 @@ def _run_content(data: bytes):
             operands.append(t)
             continue
         # operator
+        if t == "BI":
+            # inline image: binary data follows until EI — outside this
+            # interpreter's scope; refuse rather than garbage-tokenize it
+            raise NotImplementedError("inline images (BI..EI) unsupported")
         if t == "BT":
             tm = tlm = _ID
         elif t == "ET":
@@ -267,9 +292,10 @@ def _run_content(data: bytes):
 
 
 def extract_text_boxes(blob: bytes):
-    """PDF bytes -> list of (page_no, x, y, font_size, text, page_height,
-    mediabox_x0, mediabox_y0) in PDF user space (y-up). The caller flips to
-    the layout kernel's y-down space."""
+    """PDF bytes -> list of (page_no, x, y, font_size, text, page_height)
+    tuples. x/y are MediaBox-relative PDF user-space coordinates (y-up,
+    origin shifted so the page's lower-left is (0,0)); the caller flips to
+    the layout kernel's y-down space using page_height."""
     blob = bytes(blob)
     if not blob.startswith(b"%PDF"):
         raise ValueError("not a PDF (missing %PDF header)")

@@ -131,8 +131,15 @@ def decode_png(data: bytes) -> tuple[int, int, str, bytes]:
     else:  # palette
         if not palette:
             raise ValueError("palette PNG missing PLTE")
+        n_entries = len(palette) // 3
         rgb = bytearray()
         for v in out:
+            if v >= n_entries:
+                # a silent short slice would misalign every later pixel;
+                # fail at the decode boundary instead (review finding)
+                raise ValueError(
+                    f"palette index {v} out of range (PLTE has {n_entries})"
+                )
             rgb += palette[3 * v : 3 * v + 3]
         rgb = bytes(rgb)
     return width, height, "RGB", rgb

@@ -130,12 +130,14 @@ def stateless_curate(
     must not undercount one-word-per-line documents (lists, poetry, code),
     unlike the advisory quality_score whose single-space convention it
     otherwise mirrors."""
-    # trim first: Java split keeps a leading empty token for text starting
-    # with whitespace, which would inflate the count by one past a
-    # destructive gate; the all-whitespace/empty doc counts as 0 words.
-    trimmed = F.trim(F.col(text_col))
-    n_words = F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, "\\s+"))
+    # strip ALL leading/trailing whitespace first (regexp, not F.trim —
+    # trim strips only ASCII spaces, so a leading tab/newline would still
+    # mint a phantom empty split token and inflate the count by one past a
+    # destructive gate; review finding). The all-whitespace/empty doc
+    # counts as 0 words.
+    stripped = F.regexp_replace(F.col(text_col), "^\\s+|\\s+$", "")
+    n_words = F.when(stripped == "", F.lit(0)).otherwise(
+        F.size(F.split(stripped, "\\s+"))
     )
     gated = df.filter((n_words >= min_words) & (n_words <= max_words))
     return gated.select(

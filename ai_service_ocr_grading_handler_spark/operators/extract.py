@@ -5,7 +5,7 @@ This occupies the operator position of the reference's OCR kernel family
 /root/reference/engine/core/ocr_llm_calling_modules.py:20-79) and the
 two-stage extract->grade chain (K10, gen_ai_calling.py:292-326) — but as a
 deterministic, local, vectorized kernel per the north rule: html bytes in,
-(text, spans, block stats) out, via ``mapInPandas`` so the only JVM<->Python
+(text, spans, block stats) out, via ``mapInArrow`` so the only JVM<->Python
 boundary is one Arrow channel.
 
 Scale notes:
@@ -17,7 +17,8 @@ Scale notes:
   the widest column at 100 TB).
 - Output is a pure function of `html` per row: batch-boundary invariance is
   property-tested (tests/test_extract_spark.py).
-- MapInPandas is a PUSHDOWN BARRIER: predicates written after the kernel
+- The Python kernel node (MapInArrow/MapInPandas) is a PUSHDOWN BARRIER:
+  predicates written after the kernel
   run after it (verified with .explain — the filter lands above
   MapInPandas). Apply row filters (lang, warc_ts range, host) to `pages`
   BEFORE calling extract_pages so they reach the parquet scan as

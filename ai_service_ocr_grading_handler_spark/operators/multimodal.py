@@ -6,9 +6,9 @@ like the reference's image payloads (b64 bytes fetched per url,
 /root/reference/engine/core/utils.py:164-165, decoded at
 llm_number_prediction.py:39-55). All Spark plumbing here is REAL — schema,
 Arrow batch shape, mapInPandas kernels, header parsing, byte slicing,
-hashing; only the pixel/sample codecs are stubbed (no image/audio libs in
-this runtime): `decode_pixels` raises NotImplementedError unless PIL/cv2 is
-importable, per the build contract.
+hashing. Pixel decode runs FOR REAL for PNG payloads via the stdlib codec
+(`core.pngx`; PIL preferred when importable); non-PNG formats raise
+NotImplementedError so callers gate them, per the build contract.
 
 Container format (deterministic, synthesized from `documents`):
   magic 'FAKEMM01' | u8 kind | u32 width | u32 height | u32 payload_len |

@@ -2275,9 +2275,14 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.paragraph_dedup(_dd.para_corpus(spark, sf_dir))
 
 
+# regexp strip, not trim(): DuckDB trim also removes only spaces, and the
+# Spark gate strips ALL whitespace ends — the twins must agree on tabs/
+# newlines at the edges (review finding)
+_CURATE_STRIP_DUCK = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
 _CURATE_GATE_DUCK = (
-    "CASE WHEN trim(text) = '' THEN 0"
-    " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END BETWEEN 5 AND 10000"
+    f"CASE WHEN {_CURATE_STRIP_DUCK} = '' THEN 0"
+    f" ELSE len(regexp_split_to_array({_CURATE_STRIP_DUCK}, '\\s+')) END"
+    " BETWEEN 5 AND 10000"
 )
 
 

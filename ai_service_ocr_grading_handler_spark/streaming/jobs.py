@@ -12,7 +12,7 @@ The Spark-native mapping:
 - content dedup       -> `dropDuplicatesWithinWatermark` on the key;
 - windowed rollups    -> event-time `window()` aggregation with a watermark
   bounding state (late rows beyond the watermark are dropped);
-- extraction on a stream -> the SAME `extract_pages` kernel: `mapInPandas`
+- extraction on a stream -> the SAME `extract_pages` kernel: `mapInArrow`
   is streaming-compatible, so batch and streaming share one code path.
 
 At scale: state size is bounded by (watermark horizon x key cardinality);

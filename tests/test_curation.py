@@ -238,17 +238,27 @@ def test_decontaminate_matches_across_paragraph_boundary(spark):
 def test_gate_ignores_leading_whitespace(spark):
     """Java split keeps a leading empty token for text starting with
     whitespace; the gate must count real words only (advisor finding: a
-    4-word doc with a leading space must not pass min_words=5)."""
+    4-word doc with a leading space must not pass min_words=5). The strip
+    covers ALL whitespace, not just spaces — F.trim removes only ASCII
+    spaces, so tab/newline edges were a second copy of the same bug
+    (review finding)."""
     df = spark.createDataFrame(
         [
             (1, " four words only here"),
             (2, "five real words right here"),
             (3, "   \n  "),
+            (4, "\nfour words only here"),       # leading newline
+            (5, "four words only here\t"),       # trailing tab
+            (6, "\t five good words right here \n"),  # mixed edges, 5 words
         ],
         "doc_id bigint, text string",
     )
     out = {r.doc_id for r in curation.stateless_curate(df, min_words=5).collect()}
-    assert out == {2}
+    assert out == {2, 6}
+    # and a max_words gate must not destroy a doc for a trailing newline
+    big = "w " * 9999 + "w\n"  # exactly 10000 words + trailing newline
+    df2 = spark.createDataFrame([(1, big)], "doc_id bigint, text string")
+    assert curation.stateless_curate(df2, max_words=10000).count() == 1
 
 
 def test_curate_decontaminates_against_scrubbed_benchmark(spark):

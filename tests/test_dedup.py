@@ -146,6 +146,22 @@ def test_minhash_hot_bucket_cap_is_observable(spark):
     assert dedup.last_minhash_metrics()["capped_buckets"] == 0
 
 
+def test_minhash_metrics_never_block_on_unexecuted_plan(spark):
+    """Building a newer plan WITHOUT executing it must not hang (or hide)
+    the metrics of the last executed invocation (review finding: the old
+    getter blocked forever on the newest build's Observation)."""
+    base = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(i, base + f" t{i % 2}") for i in range(8)], "doc_id bigint, text string"
+    )
+    dedup.minhash_lsh_neardups(df, threshold=0.5, max_bucket=2).count()
+    executed = dedup.last_minhash_metrics()
+    assert executed["capped_buckets"] > 0
+    # newer plan, never executed — getter still returns the executed one
+    dedup.minhash_lsh_neardups(df, threshold=0.9)
+    assert dedup.last_minhash_metrics() == executed
+
+
 def test_minhash_interleaved_builds_keep_persists(spark):
     """Building a second minhash plan before executing the first must not
     strip the first plan's persisted frames (advisor finding: the old
@@ -174,6 +190,12 @@ def test_ngram_h60_matches_duckdb(spark):
         (3, "  lead \t tab\nmix  " + " ".join(f"y{i}" for i in range(15))),
         (4, "short doc"),
         (5, ""),
+        # leading newline + exactly 12 words: a phantom empty token would
+        # make this "13 tokens" and mint a gram outside the normalized
+        # space (review finding) — must yield ZERO grams
+        (6, "\n" + " ".join(f"z{i}" for i in range(12))),
+        # same words as row 1 wrapped in edge whitespace -> same gram set
+        (7, "\t" + " ".join(f"w{i}" for i in range(20)) + "\n"),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {
@@ -194,6 +216,8 @@ def test_ngram_h60_matches_duckdb(spark):
     assert got == want
     assert got[1] == got[2]  # whitespace-normalized: same grams either way
     assert got[4] == [] and got[5] == []
+    assert got[6] == []  # 12 words + leading newline: no phantom 13th token
+    assert got[7] == got[1]  # edge whitespace never changes the gram set
 
 
 def test_shingles_expression_matches_python_reference(spark):

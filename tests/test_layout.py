@@ -131,6 +131,47 @@ def test_pdf_codec_rejects_garbage():
         pdfx.extract_text_boxes(b"%PDF-1.7 fake no objects")
 
 
+def _one_page_pdf(content: bytes) -> bytes:
+    import struct as _st
+    import zlib as _z
+
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1"
+        b" /MediaBox [0 0 612 792] >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\n"
+        + b"stream\n" + content + b"\nendstream\nendobj\n"
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+def test_pdf_content_stream_edge_cases():
+    """Review findings: nested inline dicts must be skipped with depth
+    (not to the first '>>'), \\8 and \\9 are unknown escapes whose
+    backslash drops (not octal crashes), and BI inline images refuse."""
+    from ai_service_ocr_grading_handler_spark.core import pdfx
+
+    # nested dict between text ops: '(B)' inside the dict must NOT leak
+    # into the operand stream and get emitted by Tj
+    nested = _one_page_pdf(
+        b"BT /F1 10 Tf 10 20 Td (A) Tj ET"
+        b" << /X << /Y 1 >> /S (B) >>"
+        b" BT /F1 10 Tf 10 40 Td (C) Tj ET"
+    )
+    texts = [t for (_, _, _, _, t, _) in pdfx.extract_text_boxes(nested)]
+    assert texts == ["A", "C"]
+    # \8 / \9: backslash dropped, no octal ValueError
+    esc = _one_page_pdf(rb"BT /F1 10 Tf 10 20 Td (foo\9bar\8baz\101) Tj ET")
+    texts = [t for (_, _, _, _, t, _) in pdfx.extract_text_boxes(esc)]
+    assert texts == ["foo9bar8bazA"]  # \101 octal = 'A'
+    # inline images are out of scope and must refuse, not garbage-tokenize
+    bi = _one_page_pdf(b"BI /W 1 /H 1 ID \x00\x01\x02 EI BT (x) Tj ET")
+    with pytest.raises(NotImplementedError):
+        pdfx.extract_text_boxes(bi)
+
+
 def test_spark_layout_byte_identity(spark):
     out = {
         r.doc_id: r.text

@@ -96,6 +96,26 @@ def test_png_codec_filters_and_color_types():
         pngx.decode_png(bad)
 
 
+def test_png_palette_index_out_of_range_raises():
+    """A malformed palette PNG whose pixels reference entries beyond PLTE
+    must fail at the decode boundary, not return a misaligned RGB buffer
+    (review finding)."""
+    import struct as _st
+    import zlib as _z
+
+    from ai_service_ocr_grading_handler_spark.core import pngx
+
+    def chunk(ctype, body):
+        return _st.pack(">I", len(body)) + ctype + body + _st.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF)
+
+    ihdr = _st.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    plte = bytes((1, 2, 3)) + bytes((4, 5, 6))  # 2 entries
+    scan = _z.compress(b"\x00\x00\x04")  # pixel index 4 > max 1
+    bad = pngx._SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte) + chunk(b"IDAT", scan) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="palette index"):
+        pngx.decode_png(bad)
+
+
 def test_png_paeth_average_roundtrip_against_reference_pattern():
     """Hand-filtered Average and Paeth rows reconstruct exactly."""
     import struct as _st

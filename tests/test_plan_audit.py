@@ -15,12 +15,17 @@ SF = "/root/testdata/sf0.001"
 _BNLJ_OK = {"cosine_topk", "ivf_ann_topk"}
 
 
-@pytest.mark.parametrize("name", sorted(registry.queries()))
+# driver-window AND library-tier queries share every plan lint: demotion
+# out of the 50-slot window must not demote plan-shape guarantees
+_ALL_QUERIES = {**registry.queries(), **registry.library_queries()}
+
+
+@pytest.mark.parametrize("name", sorted(_ALL_QUERIES))
 def test_no_cartesian_product(spark, name):
     """A plain CartesianProduct (both sides unbounded) is never acceptable;
     BroadcastNestedLoopJoin only where the broadcast side is a bounded
     query set."""
-    df = registry.queries()[name](spark, SF)
+    df = _ALL_QUERIES[name](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
     if name not in _BNLJ_OK:
@@ -48,7 +53,9 @@ def test_extract_scan_prunes_to_kernel_columns(spark):
     df = registry.queries()["extract_pages"](spark, SF)
     assert "html" not in df.columns
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan
+    # the flagship kernel is the Arrow-native node (review finding: the old
+    # "MapInPandas" assertion passed vacuously via the synthesis kernel)
+    assert "MapInArrow" in plan
 
 
 # queries that are SINKS by design: their point is the committed write
@@ -71,7 +78,7 @@ def test_no_driver_actions_inside_registry():
         "toLocalIterator", "save", "saveAsTable", "foreach", "foreachPartition",
     }
     offenders: list[str] = []
-    for name, q in registry.queries().items():
+    for name, q in _ALL_QUERIES.items():
         if name in _SINK_QUERIES:
             continue
         tree = ast.parse(textwrap.dedent(inspect.getsource(q)))
