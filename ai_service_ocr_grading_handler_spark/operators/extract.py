@@ -123,45 +123,42 @@ def extract_pages(pages: DataFrame) -> DataFrame:
 
 
 def extract_blocks(pages: DataFrame) -> DataFrame:
-    """Exploded per-block classification detail (FIXTURES.md §4 `blocks`)."""
-    import pandas as pd
+    """Exploded per-block classification detail (FIXTURES.md §4 `blocks`).
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: list[dict] = []
-            for url, html in zip(pdf["url"], pdf["html"]):
-                r = extract_doc(html)
-                for b in r.blocks:
-                    out.append(
-                        {
-                            "url": url,
-                            "block_id": b.block_id,
-                            "kind": b.kind,
-                            "text": b.text,
-                            "n_words": b.n_words,
-                            "text_density": b.text_density,
-                            "link_density": b.link_density,
-                            "is_content": b.is_content,
-                            "confidence": b.confidence,
-                            "src_start": b.src_start,
-                            "src_end": b.src_end,
-                        }
-                    )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "url",
-                    "block_id",
-                    "kind",
-                    "text",
-                    "n_words",
-                    "text_density",
-                    "link_density",
-                    "is_content",
-                    "confidence",
-                    "src_start",
-                    "src_end",
-                ],
+    Arrow-native like extract_pages: per-block fields accumulate as flat
+    column lists (one pa.array each), never per-row dicts."""
+    import pyarrow as pa
+
+    names = [
+        "url", "block_id", "kind", "text", "n_words", "text_density",
+        "link_density", "is_content", "confidence", "src_start", "src_end",
+    ]
+    i64, i32, f64 = pa.int64(), pa.int32(), pa.float64()
+    types = [
+        pa.string(), i32, pa.string(), pa.string(), i32, f64,
+        f64, pa.bool_(), f64, i64, i64,
+    ]
+
+    def kernel(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            urls = batch.column(0).to_pylist()
+            htmls = batch.column(1).to_pylist()
+            cols: list[list] = [[] for _ in names]
+            for url, html in zip(urls, htmls):
+                for b in extract_doc(html).blocks:
+                    cols[0].append(url)
+                    cols[1].append(b.block_id)
+                    cols[2].append(b.kind)
+                    cols[3].append(b.text)
+                    cols[4].append(b.n_words)
+                    cols[5].append(b.text_density)
+                    cols[6].append(b.link_density)
+                    cols[7].append(b.is_content)
+                    cols[8].append(b.confidence)
+                    cols[9].append(b.src_start)
+                    cols[10].append(b.src_end)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, t) for c, t in zip(cols, types)], names=names
             )
 
-    return pages.select("url", "html").mapInPandas(kernel, schema=BLOCKS_SCHEMA_DDL)
+    return pages.select("url", "html").mapInArrow(kernel, schema=BLOCKS_SCHEMA_DDL)

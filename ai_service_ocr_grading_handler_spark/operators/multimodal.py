@@ -5,7 +5,7 @@ metadata, exactly like `html` does for pages (BASELINE.json input_hint) and
 like the reference's image payloads (b64 bytes fetched per url,
 /root/reference/engine/core/utils.py:164-165, decoded at
 llm_number_prediction.py:39-55). All Spark plumbing here is REAL — schema,
-Arrow batch shape, mapInPandas kernels, header parsing, byte slicing,
+Arrow batch shape, mapInArrow kernels, header parsing, byte slicing,
 hashing. Pixel decode runs FOR REAL for PNG payloads via the stdlib codec
 (`core.pngx`; PIL preferred when importable); non-PNG formats raise
 NotImplementedError so callers gate them, per the build contract.
@@ -133,70 +133,78 @@ def media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def media_metadata(media: DataFrame) -> DataFrame:
     """Binary header parse + payload hash — the 'feature extract' kernel
-    position: one Arrow channel, scalars out, blob dropped."""
-    import pandas as pd
+    position: one Arrow channel, scalars out, blob dropped. Arrow-native
+    (flat column lists, no per-row dicts/pandas)."""
+    import pyarrow as pa
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, kind, blob in zip(pdf["doc_id"], pdf["kind"], pdf["media"]):
+    def kernel(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            doc_ids = batch.column(0)
+            kinds = batch.column(1).to_pylist()
+            blobs = batch.column(2).to_pylist()
+            ks, ws, hs, plens, nbytes, md5s = [], [], [], [], [], []
+            for kind, blob in zip(kinds, blobs):
                 k, w, h, payload = unpack_media(blob)
                 assert k == kind
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "kind": k,
-                        "width": w,
-                        "height": h,
-                        "payload_len": len(payload),
-                        "n_bytes": len(blob),
-                        "payload_md5": hashlib.md5(payload).hexdigest(),
-                    }
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "kind",
-                    "width",
-                    "height",
-                    "payload_len",
-                    "n_bytes",
-                    "payload_md5",
+                ks.append(k)
+                ws.append(w)
+                hs.append(h)
+                plens.append(len(payload))
+                nbytes.append(len(blob))
+                md5s.append(hashlib.md5(payload).hexdigest())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array(ks, pa.string()),
+                    pa.array(ws, pa.int32()),
+                    pa.array(hs, pa.int32()),
+                    pa.array(plens, pa.int32()),
+                    pa.array(nbytes, pa.int32()),
+                    pa.array(md5s, pa.string()),
+                ],
+                names=[
+                    "doc_id", "kind", "width", "height",
+                    "payload_len", "n_bytes", "payload_md5",
                 ],
             )
 
-    return media.mapInPandas(kernel, schema=META_DDL)
+    return media.mapInArrow(kernel, schema=META_DDL)
 
 
 def sample_frames(media: DataFrame, every_k: int = 3) -> DataFrame:
     """Frame-sample 'video' payloads: every k-th FRAME_BYTES slice, hashed —
-    the frame-extraction kernel shape (explodes rows inside the batch)."""
-    import pandas as pd
+    the frame-extraction kernel shape (explodes rows inside the batch).
+    Arrow-native (flat column lists, no per-row dicts/pandas)."""
+    import pyarrow as pa
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
+    def kernel(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
             # input is pre-filtered to kind == 'video' below; no per-row
             # re-check (the old redundant guard misled readers into
             # thinking the kernel handles mixed-kind batches)
-            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+            ids, idxs, hexes = [], [], []
+            for doc_id, blob in zip(
+                batch.column(0).to_pylist(), batch.column(2).to_pylist()
+            ):
                 _, _, _, payload = unpack_media(blob)
                 n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
                 for idx in range(0, n_frames, every_k):
                     frame = payload[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
-                    rows.append(
-                        {
-                            "doc_id": doc_id,
-                            "frame_idx": idx,
-                            # hex, not md5: DuckDB cannot slice BLOBs, so the oracle
-                            # reconstructs frames as substr(hex(bytes)) — hex keeps the
-                            # comparison BYTE-exact for any (non-ASCII too) text
-                            "frame_hex": frame.hex().upper(),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_hex"])
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    # hex, not md5: DuckDB cannot slice BLOBs, so the oracle
+                    # reconstructs frames as substr(hex(bytes)) — hex keeps
+                    # the comparison BYTE-exact for any (non-ASCII) text
+                    hexes.append(frame.hex().upper())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(idxs, pa.int32()),
+                    pa.array(hexes, pa.string()),
+                ],
+                names=["doc_id", "frame_idx", "frame_hex"],
+            )
 
-    return media.filter(F.col("kind") == "video").mapInPandas(
+    return media.filter(F.col("kind") == "video").mapInArrow(
         kernel, schema=FRAME_DDL
     )
