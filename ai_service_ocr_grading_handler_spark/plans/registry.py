@@ -976,6 +976,7 @@ def q_credit_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     unmatched keys were inserted, (c) untouched rows survived, and (d) the
     second application was a no-op — re-runs never double-decrement."""
     import hashlib
+    import os
     import shutil
     import tempfile
     from pathlib import Path
@@ -1005,13 +1006,19 @@ def q_credit_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("AI_PROCESSED").alias("status"),
         )
     )
-    # deterministic per-corpus dir, WIPED on entry: a fresh mkdtemp per
-    # build leaked /tmp linearly across driver correctness runs (found by
-    # review); overwrite-in-place keeps disk bounded and the query
-    # build-idempotent
+    # deterministic per-(corpus, process) dir, WIPED on entry: a fresh
+    # mkdtemp per build leaked /tmp linearly across driver correctness runs
+    # (found by review); overwrite-in-place keeps disk bounded and the
+    # query build-idempotent. The pid component isolates concurrent
+    # sessions (e.g. driver check + pytest worker on the same sf_dir) —
+    # without it one process's rmtree could race another's merge sequence
+    # mid-write (review finding).
     ledger = str(
         Path(tempfile.gettempdir())
-        / f"credit-ledger-{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+        / (
+            f"credit-ledger-{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+            f"-{os.getpid()}"
+        )
     )
     shutil.rmtree(ledger, ignore_errors=True)
     _l.merge_upsert(spark, ledger, seed, "user_id")
@@ -1032,6 +1039,56 @@ _PROMPT_DEFAULT = "You are a helpful grading assistant."
 _SUBJECTS = ["math", "science", "english", "history"]
 
 
+# --- shared synthetic-question formulas -------------------------------------
+# Used by BOTH prompt_assembly and question_format (Spark AND oracle sides):
+# one source each, so editing the formula cannot desynchronize the four
+# hand-copies that used to exist (review finding — the url_col lesson).
+
+
+def _question_col(d: F.Column) -> F.Column:
+    return F.when(
+        d % 3 == 0,
+        F.concat(F.lit("Solve `x+"), (d % 9).cast("string"), F.lit("` now")),
+    ).otherwise(F.concat(F.lit("Explain topic "), (d % 9).cast("string")))
+
+
+_QUESTION_DUCK = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'Solve `x+' || (doc_id % 9) || '` now'"
+    " ELSE 'Explain topic ' || (doc_id % 9) END"
+)
+
+
+def _markup_col(question: F.Column, is_stem: F.Column) -> F.Column:
+    """markupFormat (reference :391-400): asciiMath only for STEM subjects
+    with a backtick in the question."""
+    return F.when(is_stem & question.contains("`"), F.lit("asciiMath")).otherwise(
+        F.lit("text")
+    )
+
+
+def _question_clean_col(question: F.Column, is_stem: F.Column) -> F.Column:
+    """backtick -> apostrophe strip for non-STEM (reference :397)."""
+    return F.when(is_stem, question).otherwise(F.translate(question, "`", "'"))
+
+
+def _markup_duck(stem_sql: str, q_sql: str = "question") -> str:
+    return (
+        f"CASE WHEN {stem_sql} AND contains({q_sql}, chr(96))"
+        " THEN 'asciiMath' ELSE 'text' END"
+    )
+
+
+def _question_clean_duck(stem_sql: str, q_sql: str = "question") -> str:
+    return (
+        f"CASE WHEN {stem_sql} THEN {q_sql}"
+        f" ELSE replace({q_sql}, chr(96), chr(39)) END"
+    )
+
+
+# prompt_assembly's STEM set (question_format uses the wider 5-subject set)
+_STEM_PROMPT_DUCK = "subject IN ('math','science')"
+
+
 def _prompt_case_duck() -> str:
     whens = " ".join(
         f"WHEN task = '{t}' AND subject = '{s}' THEN '{p}'"
@@ -1049,9 +1106,7 @@ def _prompt_case_duck() -> str:
              'Grade ' || ((doc_id % 12) + 1) AS grade_level,
              ((doc_id % 4) + 1)::int AS marks,
              (['math','science','english','history'][(doc_id % 4)::int + 1]) AS subject,
-             CASE WHEN doc_id % 3 = 0
-                  THEN 'Solve `x+' || (doc_id % 9) || '` now'
-                  ELSE 'Explain topic ' || (doc_id % 9) END AS question
+             {_QUESTION_DUCK} AS question
       FROM documents
     ), g AS (
       SELECT *, regexp_extract(grade_level, '[0-9]+')::int AS grade_num FROM req
@@ -1062,10 +1117,8 @@ def _prompt_case_duck() -> str:
            grade_num,
            (grade_num + 5) || '-' || (grade_num + 8) AS age_range,
            (CASE marks WHEN 1 THEN 2 WHEN 2 THEN 5 WHEN 3 THEN 7 ELSE 10 END)::int AS n_lines,
-           CASE WHEN subject IN ('math','science') AND contains(question, chr(96))
-                THEN 'asciiMath' ELSE 'text' END AS markup,
-           CASE WHEN subject IN ('math','science') THEN question
-                ELSE replace(question, chr(96), chr(39)) END AS question_clean,
+           {_markup_duck(_STEM_PROMPT_DUCK)} AS markup,
+           {_question_clean_duck(_STEM_PROMPT_DUCK)} AS question_clean,
            'You are grading a ' || subject || ' question for grade ' || grade_num
              || ' (ages ' || (grade_num + 5) || '-' || (grade_num + 8)
              || '). Answer in '
@@ -1102,10 +1155,7 @@ def q_prompt_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     subject = F.element_at(
         F.array(*[F.lit(s) for s in _SUBJECTS]), (d % 4).cast("int") + 1
     )
-    question = F.when(
-        d % 3 == 0,
-        F.concat(F.lit("Solve `x+"), (d % 9).cast("string"), F.lit("` now")),
-    ).otherwise(F.concat(F.lit("Explain topic "), (d % 9).cast("string")))
+    question = _question_col(d)
     grade_num = F.regexp_extract(grade_level, r"\d+", 0).cast("int")
     age_range = F.concat(
         (grade_num + 5).cast("string"), F.lit("-"), (grade_num + 8).cast("string")
@@ -1114,12 +1164,8 @@ def q_prompt_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(marks == 1, 2).when(marks == 2, 5).when(marks == 3, 7).otherwise(10)
     ).cast("int")
     is_stem = subject.isin("math", "science")
-    markup = F.when(
-        is_stem & question.contains("`"), F.lit("asciiMath")
-    ).otherwise(F.lit("text"))
-    question_clean = F.when(is_stem, question).otherwise(
-        F.translate(question, "`", "'")
-    )
+    markup = _markup_col(question, is_stem)
+    question_clean = _question_clean_col(question, is_stem)
     # T7: the template arrives with escaped backslashes; normalize \\n -> \n
     raw_template = (
         "You are grading a %s question for grade %s (ages %s)."
@@ -1378,15 +1424,13 @@ def q_essay_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "question_format",
-    """
+    f"""
     WITH q AS (
       SELECT doc_id,
              (['Multiple Choice','multiple choice','MCQ','mcq','short answer',
                'multiple choice question'][(doc_id % 6)::int + 1]) AS qtype_raw,
              (['mathematics','science','english','history'][(doc_id % 4)::int + 1]) AS subject,
-             CASE WHEN doc_id % 3 = 0
-                  THEN 'Solve `x+' || (doc_id % 9) || '` now'
-                  ELSE 'Explain topic ' || (doc_id % 9) END AS question,
+             {_QUESTION_DUCK} AS question,
              (doc_id % 4)::int AS correct_idx,
              0.5 * (1 + doc_id % 4) AS m0, 0.5 * (1 + (doc_id + 1) % 4) AS m1,
              (doc_id % 7) AS c0, ((doc_id + 1) % 7) AS c1
@@ -1403,10 +1447,8 @@ def q_essay_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
            is_mcq,
            CASE WHEN is_mcq THEN 'multipleChoice' ELSE 'openEnded' END AS content_sub_type,
            CASE WHEN is_mcq THEN 'tickmark' ELSE 'shortAnswer' END AS content_sub_sub_type,
-           CASE WHEN is_stem AND contains(question, chr(96))
-                THEN 'asciiMath' ELSE 'text' END AS markup_format,
-           CASE WHEN is_stem THEN question
-                ELSE replace(question, chr(96), chr(39)) END AS question_text,
+           {_markup_duck("is_stem")} AS markup_format,
+           {_question_clean_duck("is_stem")} AS question_text,
            'v' || ((doc_id + 1) % 7) AS opt1,
            'v' || ((doc_id + 2) % 7) AS opt2,
            'v' || ((doc_id + 3) % 7) AS opt3,
@@ -1417,13 +1459,13 @@ def q_essay_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 'opt' || (correct_idx + 1) END
            END AS ans,
            CASE WHEN is_mcq THEN
-             '[{"marks":' || m0 || ',"rubricText":"criteria-' || c0 || '"},' ||
-             '{"marks":' || m1 || ',"rubricText":"criteria-' || c1 || '"}]'
+             '[{{"marks":' || m0 || ',"rubricText":"criteria-' || c0 || '"}},' ||
+             '{{"marks":' || m1 || ',"rubricText":"criteria-' || c1 || '"}}]'
            ELSE
-             '[{"score":' || m0 || ',"criteria":"criteria-' || c0 || '","rubricId":"'
-               || substr(sha256('q' || doc_id || '-r0'), 1, 12) || '"},' ||
-             '{"score":' || m1 || ',"criteria":"criteria-' || c1 || '","rubricId":"'
-               || substr(sha256('q' || doc_id || '-r1'), 1, 12) || '"}]'
+             '[{{"score":' || m0 || ',"criteria":"criteria-' || c0 || '","rubricId":"'
+               || substr(sha256('q' || doc_id || '-r0'), 1, 12) || '"}},' ||
+             '{{"score":' || m1 || ',"criteria":"criteria-' || c1 || '","rubricId":"'
+               || substr(sha256('q' || doc_id || '-r1'), 1, 12) || '"}}]'
            END AS rubrics_json
     FROM e ORDER BY doc_id
     """,
@@ -1468,10 +1510,7 @@ def q_question_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(s) for s in ["mathematics", "science", "english", "history"]]),
         (d % 4).cast("int") + 1,
     )
-    question = F.when(
-        d % 3 == 0,
-        F.concat(F.lit("Solve `x+"), (d % 9).cast("string"), F.lit("` now")),
-    ).otherwise(F.concat(F.lit("Explain topic "), (d % 9).cast("string")))
+    question = _question_col(d)
     # exact-string membership, NOT lowercased: 'MCQ' deliberately misses
     is_mcq = qtype.isin(
         "mcq", "multipleChoice", "multiplechoice", "multiple choice",
@@ -1530,12 +1569,8 @@ def q_question_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_mcq, F.lit("tickmark")).otherwise(F.lit("shortAnswer")).alias(
             "content_sub_sub_type"
         ),
-        F.when(
-            is_stem & question.contains("`"), F.lit("asciiMath")
-        ).otherwise(F.lit("text")).alias("markup_format"),
-        F.when(is_stem, question)
-        .otherwise(F.translate(question, "`", "'"))
-        .alias("question_text"),
+        _markup_col(question, is_stem).alias("markup_format"),
+        _question_clean_col(question, is_stem).alias("question_text"),
         opts[0].alias("opt1"),
         opts[1].alias("opt2"),
         opts[2].alias("opt3"),

@@ -21,7 +21,9 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
-    n = int(cpus or DEFAULT_CPUS)
+    n = DEFAULT_CPUS if cpus is None else int(cpus)
+    if n <= 0:
+        raise ValueError(f"cpus must be >= 1, got {n}")
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
@@ -33,7 +35,10 @@ def get_spark(
         # slower on the shuffle-heaviest query (minhash) at local[32] —
         # two waves of half-sized tasks, pure per-task overhead. On a real
         # cluster this scales with total cores by the same rule.
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(n, 32)))
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(max(n, 32) if shuffle_partitions is None else shuffle_partitions),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
@@ -48,6 +53,20 @@ def get_spark(
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an externally provided session
     (the driver hands us one in `entry`/`queries`)."""
+    # shuffle partitions ARE runtime-settable and matter most: an external
+    # session's default (200) runs the shuffle-heaviest queries in ~6 waves
+    # of undersized tasks — the ~40% regression measured in get_spark's
+    # comment — so the driver path must get the same sizing bench.py does
+    # (review finding).
+    try:
+        par = int(spark.sparkContext.defaultParallelism)
+    except Exception:  # Spark Connect: no sparkContext; keep session value
+        par = 0
+    if par:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(par, 32)))
+        except Exception:
+            pass
     for k, v in (
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),

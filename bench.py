@@ -165,10 +165,14 @@ def run_headline(
         spark.conf.set(k, v)
     times["extract_pages_bench"] = round(sec, 3)
     qs = registry.queries()
+    missing = [n for n in HEADLINE if n != "extract_pages_bench" and n not in qs]
+    if missing:
+        # fail fast: silently skipping a renamed/demoted headline query
+        # would shrink headline_total_sec and fake a cross-round speedup
+        # (review finding)
+        raise RuntimeError(f"HEADLINE queries missing from registry: {missing}")
     for name in HEADLINE:
         if name == "extract_pages_bench":
-            continue
-        if name not in qs:
             continue
         # min of 2 passes, REBUILDING the DataFrame after each clearCache:
         # clearCache() drops CacheManager REGISTRATIONS, not just data, so
@@ -254,9 +258,23 @@ def _pinned(cmd: list[str], cpus: int) -> list[str]:
 
 
 def _run_json(cmd: list[str]) -> dict:
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    out = subprocess.run(cmd, capture_output=True, text=True)
+    if out.returncode != 0:
+        # surface the worker's actual error — a bare CalledProcessError
+        # hides the Spark stack trace and leaves a long scaling run
+        # undiagnosable (review finding)
+        raise RuntimeError(
+            f"worker failed (rc={out.returncode}): {' '.join(cmd)}\n"
+            f"--- stderr tail ---\n{out.stderr[-4000:]}"
+        )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"worker emitted no JSON line: {' '.join(cmd)}\n"
+            f"--- stdout tail ---\n{out.stdout[-2000:]}\n"
+            f"--- stderr tail ---\n{out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def scaling_main(args) -> None:
@@ -360,11 +378,26 @@ def scaling_main(args) -> None:
     # judge-requested "surface the ceiling-probe protocol in parsed JSON").
     # One file per (n_small, n_big) pair so an in-capacity 4->16 run never
     # displaces the INSTRUCTED 8->32 evidence.
-    stamped = {**report, "captured_at": time.strftime("%Y-%m-%d %H:%M:%S")}
+    stamped = {
+        **report,
+        "captured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "captured_commit": _git_head(),
+    }
     (bench_dir / f"scaling_{args.n_small}to{args.n_big}.json").write_text(
         json.dumps(stamped)
     )
     print(json.dumps(report))
+
+
+def _git_head() -> str | None:
+    try:
+        out = subprocess.run(
+            ["git", "-C", str(REPO), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        )
+        return out.stdout.strip() or None
+    except Exception:
+        return None
 
 
 def latest_scaling_summary() -> dict | None:
@@ -394,6 +427,10 @@ def latest_scaling_summary() -> dict | None:
         out = others.pop(0)
     if others:
         out = {**out, "other_pairs": others}
+    # staleness signal: consumers can compare the capture commit against
+    # the commit that embedded it (review finding: a fresh headline line
+    # silently paired with efficiency numbers measured on older code)
+    out = {**out, "embedded_by_commit": _git_head()}
     return out
 
 
@@ -477,22 +514,26 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    # `is None`, not `or`: an explicit --replicate 0 must be rejected, not
+    # silently replaced by the default (review finding)
+    if args.replicate is not None and args.replicate <= 0:
+        ap.error("--replicate must be >= 1")
     if args.hw_probe:
-        args.replicate = args.replicate or SCALING_REPLICATE
+        args.replicate = SCALING_REPLICATE if args.replicate is None else args.replicate
         hw_probe_main(args)
         return
     if args.worker:
-        args.replicate = args.replicate or REPLICATE
+        args.replicate = REPLICATE if args.replicate is None else args.replicate
         worker_main(args)
         return
     if args.scaling:
-        args.replicate = args.replicate or SCALING_REPLICATE
+        args.replicate = SCALING_REPLICATE if args.replicate is None else args.replicate
         scaling_main(args)
         return
     if args.curation:
         curation_main(args)
         return
-    args.replicate = args.replicate or REPLICATE
+    args.replicate = REPLICATE if args.replicate is None else args.replicate
 
     from ai_service_ocr_grading_handler_spark.session import get_spark
 
