@@ -332,3 +332,66 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "n_id", "cell", "cos")
     )
+
+
+# --- SemDeDup-style semantic dedup ----------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame, threshold: float = 0.92, max_cell: int = 1000
+) -> DataFrame:
+    """Embedding-space near-duplicate pruning in the SemDeDup mold (Abbas
+    et al. 2023, arXiv:2303.09540: cluster with a coarse quantizer, prune
+    within clusters): every vector lands in its IVF cell, and a vector is
+    DROPPED iff some LOWER-id vector in the same cell has cosine >
+    threshold. Returns the survivors as (vec_id, cell).
+
+    Keep rule (documented precisely — it differs from the paper's
+    random-keep): drop x iff ∃ y < x in cell(x) with cos(x, y) > τ. The
+    minimum id of every near-dup cluster always survives; the rule is
+    deterministic in ids alone, so a resumed or re-partitioned run prunes
+    byte-identically, and the whole survivor set is value-oracle-checkable
+    as a single NOT EXISTS in DuckDB.
+
+    Plan shape at 100 TB: cell assignment is a per-row fold (scan speed),
+    ONE shuffle on the cell key, in-cell i<j pair generation over sorted
+    (id, embedding) structs (capped at max_cell like every bucketed tier —
+    an over-full cell means the quantizer needs more cells), cosine on
+    candidate pairs only, then a broadcast-able anti-join of the dropped
+    ids. Like SemDeDup itself, cross-cell near-dups are out of contract:
+    the quantizer is the recall/cost dial."""
+    cells = df.select(
+        "vec_id", "embedding", ivf_dots_col("embedding").alias("dots")
+    ).select(
+        "vec_id",
+        "embedding",
+        F.expr("cast(array_position(dots, array_max(dots)) as int)").alias("cell"),
+    )
+    pairs = (
+        "flatten(transform(vs, (x, i) ->"
+        " transform(slice(vs, i + 2, size(vs) - i - 1),"
+        " y -> struct(x AS a, y AS b))))"
+    )
+    dropped = (
+        cells.groupBy("cell")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))
+                ),
+                1,
+                max_cell,
+            ).alias("vs")
+        )
+        .filter(F.size("vs") > 1)
+        .select(F.explode(F.expr(pairs)).alias("p"))
+        .filter(
+            cosine(F.col("p.a.embedding"), F.col("p.b.embedding")) > threshold
+        )
+        .select(F.col("p.b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        cells.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "cell")
+    )

@@ -773,6 +773,38 @@ def q_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_library(
+    "semantic_dedup",
+    f"""
+    WITH corpus AS ({_sim.NEARDUP_CORPUS_DUCK}),
+    cells AS (
+      SELECT vec_id, embedding,
+             list_position(d.dots, list_max(d.dots))::int AS cell
+      FROM (SELECT vec_id, embedding, {_sim.ivf_dots_duck('embedding')} AS dots
+            FROM corpus) d(vec_id, embedding, dots)
+    ),
+    dropped AS (
+      -- (join form, not correlated NOT EXISTS: DuckDB cannot bind outer
+      -- columns inside list_transform lambdas in a correlated subquery)
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_sim.duck_cosine('a.embedding', 'b.embedding')} > 0.92
+    )
+    SELECT c.vec_id, c.cell FROM cells c
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM dropped)
+    ORDER BY vec_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding-space pruning over the planted near-dup
+    corpus: coarse-quantize to IVF cells, drop every vector with a
+    lower-id in-cell neighbor above cosine 0.92 (the planted +10000 exact
+    copies all vanish; their originals all survive). The oracle states the
+    keep rule as ONE NOT EXISTS — the whole survivor set is value-checked,
+    not just counts."""
+    return _sim.semantic_dedup(_sim.neardup_corpus(spark, sf_dir)).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: language ID, quality, BPE-ish tokens, fingerprints
 # ---------------------------------------------------------------------------

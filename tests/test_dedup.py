@@ -146,6 +146,28 @@ def test_minhash_hot_bucket_cap_is_observable(spark):
     assert dedup.last_minhash_metrics()["capped_buckets"] == 0
 
 
+def test_semantic_dedup_drops_planted_copies_keeps_originals(spark):
+    """SemDeDup-style pruning: every planted exact copy (+10000 id, same
+    embedding -> same cell, cosine 1.0) is dropped; every original
+    survives (no original has a lower-id near-neighbor planted)."""
+    from ai_service_ocr_grading_handler_spark.operators import similarity as sim
+
+    corpus = sim.neardup_corpus(spark, SF)
+    survivors = {r.vec_id for r in sim.semantic_dedup(corpus).collect()}
+    originals = {
+        r.vec_id
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    }
+    planted = {v + 10000 for v in originals if v % 7 == 0}
+    assert planted.isdisjoint(survivors)  # every copy pruned
+    assert originals <= survivors | planted  # no original lost to a copy
+    # deterministic: same input -> identical survivor set
+    again = {r.vec_id for r in sim.semantic_dedup(corpus).collect()}
+    assert again == survivors
+
+
 def test_minhash_metrics_never_block_on_unexecuted_plan(spark):
     """Building a newer plan WITHOUT executing it must not hang (or hide)
     the metrics of the last executed invocation (review finding: the old
