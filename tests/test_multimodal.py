@@ -116,6 +116,42 @@ def test_png_palette_index_out_of_range_raises():
         pngx.decode_png(bad)
 
 
+def test_codec_fuzz_fails_cleanly():
+    """Random/garbage bytes into the stdlib codecs must raise a typed,
+    catchable error (ValueError/NotImplementedError/zlib/struct) or return
+    a valid result — never hang or escape with an arbitrary exception."""
+    import struct as _st
+    import zlib as _z
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ai_service_ocr_grading_handler_spark.core import pdfx, pngx
+
+    allowed = (ValueError, NotImplementedError, _z.error, _st.error)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=400))
+    def run(b):
+        for fn in (pngx.decode_png, pdfx.extract_text_boxes):
+            try:
+                fn(b)
+            except allowed:
+                pass
+        # prefix-poisoned variants exercise the post-signature paths
+        for prefix in (pngx._SIG, b"%PDF-1.4\n"):
+            try:
+                pngx.decode_png(prefix + b)
+            except allowed:
+                pass
+            try:
+                pdfx.extract_text_boxes(prefix + b)
+            except allowed:
+                pass
+
+    run()
+
+
 def test_png_paeth_average_roundtrip_against_reference_pattern():
     """Hand-filtered Average and Paeth rows reconstruct exactly."""
     import struct as _st
