@@ -66,8 +66,12 @@ def _page_objects(objs: dict[int, bytes]) -> list[tuple[bytes, tuple]]:
             root_num = _ref(body, b"Pages")
             break
     pages: list[tuple[bytes, tuple]] = []
+    seen: set[int] = set()
 
     def walk(num: int, inherited_mb) -> None:
+        if num in seen:  # cyclic /Kids (malformed) must not recurse forever
+            raise ValueError(f"cyclic page-tree reference to object {num}")
+        seen.add(num)
         body = objs.get(num)
         if body is None:
             return
@@ -166,6 +170,16 @@ def _mat_mul(a, b):
 _ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 
+def _num(v) -> float:
+    """Numeric operand coercion with a TYPED failure: a malformed stream
+    can leave a list/array operand where a number belongs — that must be
+    ValueError (the codec's error contract), not TypeError."""
+    try:
+        return float(v)
+    except (TypeError, ValueError) as e:
+        raise ValueError(f"malformed content-stream operand: {v!r}") from e
+
+
 def _run_content(data: bytes):
     """Interpret a content stream; yield (x, y, font_size, text) in user
     space — text origin mapped through tm × CTM, exactly the transform the
@@ -257,18 +271,18 @@ def _run_content(data: bytes):
         elif t == "ET":
             pass
         elif t == "Tf" and len(operands) >= 2:
-            fs = float(operands[-1])
+            fs = _num(operands[-1])
         elif t in ("Td", "TD") and len(operands) >= 2:
-            ty = float(operands[-1])
-            tx = float(operands[-2])
+            ty = _num(operands[-1])
+            tx = _num(operands[-2])
             if t == "TD":
                 leading = -ty
             tlm = _mat_mul((1, 0, 0, 1, tx, ty), tlm)
             tm = tlm
         elif t == "TL" and operands:
-            leading = float(operands[-1])
+            leading = _num(operands[-1])
         elif t == "Tm" and len(operands) >= 6:
-            tm = tlm = tuple(float(v) for v in operands[-6:])
+            tm = tlm = tuple(_num(v) for v in operands[-6:])
         elif t == "T*":
             tlm = _mat_mul((1, 0, 0, 1, 0, -leading), tlm)
             tm = tlm
@@ -283,7 +297,7 @@ def _run_content(data: bytes):
                 if isinstance(el, str) and el:
                     yield emit(el)
         elif t == "cm" and len(operands) >= 6:
-            ctm = _mat_mul(tuple(float(v) for v in operands[-6:]), ctm)
+            ctm = _mat_mul(tuple(_num(v) for v in operands[-6:]), ctm)
         elif t == "q":
             stack.append(ctm)
         elif t == "Q" and stack:

@@ -30,6 +30,11 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 # samples per pixel by PNG color type
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# hard bound on the unfiltered scanline buffer (~64 MB ≈ a 4600x4600 RGB
+# image) — the per-byte Python unfilter loop and the kernel's memory
+# budget both want a ceiling; larger images need a real image library
+_MAX_RAW_BYTES = 1 << 26
+
 
 def is_png(data: bytes) -> bool:
     return bytes(data[:8]) == _SIG
@@ -78,9 +83,22 @@ def decode_png(data: bytes) -> tuple[int, int, str, bytes]:
     if color_type not in _CHANNELS:
         raise NotImplementedError(f"PNG color type {color_type}")
     ch = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
     stride = width * ch
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # decompression-bomb guard (review finding): the expected raw size is
+    # known from IHDR before inflating — refuse absurd dimensions, and cap
+    # the inflater at expected bytes so a crafted IDAT can never allocate
+    # past the header's own claim.
+    if expected > _MAX_RAW_BYTES:
+        raise ValueError(
+            f"PNG raw size {expected} exceeds the stdlib decoder's"
+            f" {_MAX_RAW_BYTES}-byte bound ({width}x{height}x{ch})"
+        )
+    d = zlib.decompressobj()
+    # ask for one byte beyond expected: a stream inflating past the
+    # header's claim returns expected+1 bytes and trips the mismatch
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("PNG IDAT length mismatch")
 
     # unfilter scanlines in place

@@ -168,7 +168,12 @@ def media_metadata(media: DataFrame) -> DataFrame:
                 ],
             )
 
-    return media.mapInArrow(kernel, schema=META_DDL)
+    # pin column ORDER with a select: the Arrow kernel indexes columns
+    # positionally, and a reordered/extended input frame must not feed the
+    # wrong column into unpack_media (review finding)
+    return media.select("doc_id", "kind", "media").mapInArrow(
+        kernel, schema=META_DDL
+    )
 
 
 def sample_frames(media: DataFrame, every_k: int = 3) -> DataFrame:
@@ -205,6 +210,10 @@ def sample_frames(media: DataFrame, every_k: int = 3) -> DataFrame:
                 names=["doc_id", "frame_idx", "frame_hex"],
             )
 
-    return media.filter(F.col("kind") == "video").mapInArrow(
-        kernel, schema=FRAME_DDL
+    # select pins positional column order for the Arrow kernel (see
+    # media_metadata)
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("doc_id", "kind", "media")
+        .mapInArrow(kernel, schema=FRAME_DDL)
     )

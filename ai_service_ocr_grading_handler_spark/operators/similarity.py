@@ -193,11 +193,11 @@ def lsh_neardups(
     full embedding; see dedup.minhash_lsh_neardups for the rationale (the
     cap never triggers on the fixtures, so the oracle stays value-exact)."""
     sigs = df.select("vec_id", "embedding", lsh_bucket_col().alias("bucket"))
-    pairs = (
-        "flatten(transform(vs, (x, i) ->"
-        " transform(slice(vs, i + 2, size(vs) - i - 1),"
-        " y -> struct(x AS a, y AS b))))"
+    from ai_service_ocr_grading_handler_spark.operators.dedup import (
+        in_bucket_pairs_expr,
     )
+
+    pairs = in_bucket_pairs_expr("vs")
     return (
         sigs.groupBy("bucket")
         .agg(
@@ -336,6 +336,30 @@ def ivf_topk(
 
 # --- SemDeDup-style semantic dedup ----------------------------------------------
 
+import collections as _collections
+
+# (build_id, Observation) for semantic_dedup cell-cap telemetry — same
+# contract as dedup._MINHASH_OBS
+_SEMDEDUP_OBS: "_collections.deque" = _collections.deque(maxlen=8)
+_SEMDEDUP_BUILDS = 0
+
+
+def last_semantic_dedup_metrics() -> dict:
+    """Cell-cap telemetry for the newest semantic_dedup invocation with
+    COMPLETED metrics: `capped_cells`, `max_cell_size`, `n_cells`,
+    `invocation`. Never blocks (see dedup.newest_completed_metrics)."""
+    from ai_service_ocr_grading_handler_spark.operators import dedup as _dd
+
+    with _dd._PERSIST_LOCK:
+        candidates = list(_SEMDEDUP_OBS)
+    try:
+        return _dd.newest_completed_metrics(candidates)
+    except RuntimeError:
+        raise RuntimeError(
+            "no executed semantic_dedup invocation to report on"
+        ) from None
+
+
 
 def semantic_dedup(
     df: DataFrame, threshold: float = 0.92, max_cell: int = 1000
@@ -359,7 +383,15 @@ def semantic_dedup(
     an over-full cell means the quantizer needs more cells), cosine on
     candidate pairs only, then a broadcast-able anti-join of the dropped
     ids. Like SemDeDup itself, cross-cell near-dups are out of contract:
-    the quantizer is the recall/cost dial."""
+    the quantizer is the recall/cost dial.
+
+    The cap is never silent: an Observation counts capped cells and the
+    largest cell (read via `last_semantic_dedup_metrics()` after an
+    action) — same telemetry contract as minhash_lsh_neardups."""
+    from pyspark.sql import Observation
+
+    from ai_service_ocr_grading_handler_spark.operators import dedup as _dd
+
     cells = df.select(
         "vec_id", "embedding", ivf_dots_col("embedding").alias("dots")
     ).select(
@@ -367,22 +399,32 @@ def semantic_dedup(
         "embedding",
         F.expr("cast(array_position(dots, array_max(dots)) as int)").alias("cell"),
     )
-    pairs = (
-        "flatten(transform(vs, (x, i) ->"
-        " transform(slice(vs, i + 2, size(vs) - i - 1),"
-        " y -> struct(x AS a, y AS b))))"
+    from ai_service_ocr_grading_handler_spark.operators.dedup import (
+        in_bucket_pairs_expr,
     )
+
+    pairs = in_bucket_pairs_expr("vs")
+    obs = Observation()
+    global _SEMDEDUP_BUILDS
+    with _dd._PERSIST_LOCK:
+        _SEMDEDUP_BUILDS += 1
+        _SEMDEDUP_OBS.append((_SEMDEDUP_BUILDS, obs))
     dropped = (
         cells.groupBy("cell")
         .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))
-                ),
-                1,
-                max_cell,
-            ).alias("vs")
+            F.array_sort(
+                F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))
+            ).alias("full_vs")
         )
+        .observe(
+            obs,
+            F.sum((F.size("full_vs") > max_cell).cast("long")).alias(
+                "capped_cells"
+            ),
+            F.max(F.size("full_vs")).alias("max_cell_size"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+        .select(F.slice("full_vs", 1, max_cell).alias("vs"))
         .filter(F.size("vs") > 1)
         .select(F.explode(F.expr(pairs)).alias("p"))
         .filter(

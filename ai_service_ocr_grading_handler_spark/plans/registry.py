@@ -2346,10 +2346,14 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark gate strips ALL whitespace ends — the twins must agree on tabs/
 # newlines at the edges (review finding)
 _CURATE_STRIP_DUCK = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+# ONE source for the gate bounds, interpolated into the oracle AND passed
+# to the Spark call — hand-copied bounds could silently desynchronize the
+# twins (review finding; same lesson as _question_col)
+_CURATE_MIN_WORDS, _CURATE_MAX_WORDS = 5, 10000
 _CURATE_GATE_DUCK = (
     f"CASE WHEN {_CURATE_STRIP_DUCK} = '' THEN 0"
     f" ELSE len(regexp_split_to_array({_CURATE_STRIP_DUCK}, '\\s+')) END"
-    " BETWEEN 5 AND 10000"
+    f" BETWEEN {_CURATE_MIN_WORDS} AND {_CURATE_MAX_WORDS}"
 )
 
 
@@ -2380,7 +2384,11 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(text)) -> paragraph-level dedup -> drop emptied docs. The oracle
     chains the independently-verified DuckDB stage twins, so a value match
     certifies the whole pipeline's composition, not just its parts."""
-    return _cur.curate_corpus(_dd.para_corpus(spark, sf_dir))
+    return _cur.curate_corpus(
+        _dd.para_corpus(spark, sf_dir),
+        min_words=_CURATE_MIN_WORDS,
+        max_words=_CURATE_MAX_WORDS,
+    )
 
 
 _PACK_MAX = 256

@@ -146,6 +146,22 @@ def test_minhash_hot_bucket_cap_is_observable(spark):
     assert dedup.last_minhash_metrics()["capped_buckets"] == 0
 
 
+def test_semantic_dedup_cell_cap_is_observable(spark):
+    """The max_cell slice must surface in telemetry when it fires — same
+    no-silent-caps contract as minhash (review finding)."""
+    from ai_service_ocr_grading_handler_spark.operators import similarity as sim
+
+    base = [0.5] * 64
+    rows = [(i, [v + (i % 2) * 1e-6 for v in base]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    sim.semantic_dedup(df, max_cell=3).count()
+    m = sim.last_semantic_dedup_metrics()
+    assert m["capped_cells"] > 0 and m["max_cell_size"] > 3
+    sim.semantic_dedup(df, max_cell=100).count()
+    m2 = sim.last_semantic_dedup_metrics()
+    assert m2["capped_cells"] == 0 and m2["invocation"] > m["invocation"]
+
+
 def test_semantic_dedup_drops_planted_copies_keeps_originals(spark):
     """SemDeDup-style pruning: every planted exact copy (+10000 id, same
     embedding -> same cell, cosine 1.0) is dropped; every original

@@ -172,6 +172,34 @@ def test_pdf_content_stream_edge_cases():
         pdfx.extract_text_boxes(bi)
 
 
+def test_pdf_codec_malformed_structures_raise_typed_errors():
+    """Review findings: a cyclic /Kids page tree must raise ValueError (not
+    RecursionError), and a non-numeric operand reaching a numeric operator
+    must raise ValueError (not TypeError)."""
+    from ai_service_ocr_grading_handler_spark.core import pdfx
+
+    cyclic = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [2 0 R] /Count 1 >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    with pytest.raises(ValueError, match="cyclic"):
+        pdfx.extract_text_boxes(cyclic)
+    # array operand where Tf expects a number
+    bad_ops = _one_page_pdf(b"BT /F [ (a) ] 2 Tf (x) Tj ET")
+    try:
+        pdfx.extract_text_boxes(bad_ops)
+    except ValueError:
+        pass  # typed failure is acceptable; TypeError is not
+    # list hitting Td is the confirmed repro shape
+    bad_td = _one_page_pdf(b"BT [ (a) ] 5 Td (x) Tj ET")
+    try:
+        pdfx.extract_text_boxes(bad_td)
+    except ValueError:
+        pass
+
+
 def test_spark_layout_byte_identity(spark):
     out = {
         r.doc_id: r.text

@@ -116,6 +116,31 @@ def test_png_palette_index_out_of_range_raises():
         pngx.decode_png(bad)
 
 
+def test_png_decoder_refuses_decompression_bombs():
+    """Review finding: the raw-buffer size is known from IHDR before
+    inflating — absurd dimensions refuse up front, and an IDAT inflating
+    past the header's claim trips the mismatch, so a crafted ~1 MB bomb
+    can never force multi-GB allocations."""
+    import struct as _st
+    import zlib as _z
+
+    from ai_service_ocr_grading_handler_spark.core import pngx
+
+    def chunk(ctype, body):
+        return _st.pack(">I", len(body)) + ctype + body + _st.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF)
+
+    # 20000 x 20000 RGB = 1.2 GB raw claimed by a tiny file
+    ihdr = _st.pack(">IIBBBBB", 20000, 20000, 8, 2, 0, 0, 0)
+    bomb = pngx._SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", _z.compress(b"\x00" * 64)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="exceeds"):
+        pngx.decode_png(bomb)
+    # small claimed dims but an IDAT inflating far beyond them
+    ihdr = _st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    fat = pngx._SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", _z.compress(b"\x00" * 100000)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="mismatch"):
+        pngx.decode_png(fat)
+
+
 def test_codec_fuzz_fails_cleanly():
     """Random/garbage bytes into the stdlib codecs must raise a typed,
     catchable error (ValueError/NotImplementedError/zlib/struct) or return
