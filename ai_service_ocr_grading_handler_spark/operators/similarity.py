@@ -399,6 +399,11 @@ def semantic_dedup(
         "embedding",
         F.expr("cast(array_position(dots, array_max(dots)) as int)").alias("cell"),
     )
+    # cells feeds BOTH the dropped-id derivation and the survivor
+    # anti-join; without a materialization the 16x64 quantizer fold runs
+    # once per consumer (verified in the executed plan — the round-2
+    # ReusedExchange lesson). Persist through the shared bounded window.
+    cells = _dd._persist_tracked(cells)
     from ai_service_ocr_grading_handler_spark.operators.dedup import (
         in_bucket_pairs_expr,
     )

@@ -104,6 +104,28 @@ def test_broadcast_joins_where_intended(spark):
         assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
 
 
+def test_curation_tier_plan_shapes(spark):
+    """The 100 TB-load-bearing shapes of the curation tier, asserted on the
+    executed plans: decontaminate's benchmark side is BROADCAST (semi) and
+    the survivor filter a broadcast anti — zero corpus shuffle;
+    pack_sequences shuffles exactly once (the group key); semantic_dedup's
+    quantizer-fold frame is persisted so the fold is not recomputed per
+    join branch (the round-2 ReusedExchange lesson)."""
+    import re
+
+    qs = _ALL_QUERIES
+    plan = qs["decontaminate"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), "bench grams not broadcast-semi"
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), "dirty ids not broadcast-anti"
+
+    plan = qs["pack_sequences"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    n_exchange = len(re.findall(r"Exchange (hash|range|Single)", plan))
+    assert n_exchange == 1, f"pack_sequences shuffles {n_exchange}x (want 1: the group key)"
+
+    plan = qs["semantic_dedup"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, "semantic_dedup cells frame lost its persist"
+
+
 def test_simhash_signature_computed_once(spark):
     """The per-word-md5 + 60-vote signature fold is the dominant cost of
     simhash_neardup_pairs; the old bands-self-join form planned ZERO
