@@ -75,3 +75,32 @@ def test_curation_packing_total(spark, adv):
         sampling.deterministic_split(df, {"train": 0.9, "val": 0.1}),
         {"src1": 1.5},
     ).count()
+
+
+def test_decontaminate_total(spark, adv):
+    nn = adv.filter(F.col("text").isNotNull())
+    bench = spark.createDataFrame(
+        [(100, ""), (101, None), (102, "one two three")], "doc_id bigint, text string"
+    ).filter(F.col("text").isNotNull())
+    assert dedup.decontaminate(nn, bench).count() == nn.count()  # no 13-gram overlaps
+
+
+def test_semantic_dedup_total_over_poisoned_embeddings(spark):
+    """Zero vectors (NULL cosine), short arrays, empty arrays and
+    duplicates must flow through without killing a task."""
+    from ai_service_ocr_grading_handler_spark.operators import similarity as sim
+
+    rows = [
+        (1, [0.0] * 64),            # zero vector -> NULL cosine
+        (2, [1.0] * 64),
+        (3, [1.0] * 64),            # exact dup of 2 -> dropped
+        (4, [0.5] * 8),             # short embedding -> NULL dots tail
+        (5, []),                    # empty embedding
+        (6, [float(i) for i in range(64)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.vec_id for r in sim.semantic_dedup(df.select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )).collect()}
+    assert 2 in out and 3 not in out  # dup pruned deterministically
+    assert 1 in out and 6 in out      # zero vector never pollutes others
