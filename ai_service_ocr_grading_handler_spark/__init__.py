@@ -20,6 +20,18 @@ __all__ = [
     "salted_repartition",
     "read_pages",
     "write_pages_partitioned",
+    # training-data curation tier
+    "curate_corpus",
+    "paragraph_dedup",
+    "decontaminate",
+    "pack_sequences",
+    "chunk_documents",
+    "deterministic_split",
+    "mix_sources",
+    "semantic_dedup",
+    # keyed ledger (MERGE INTO emulation)
+    "merge_upsert",
+    "read_ledger",
 ]
 
 _LAZY = {
@@ -41,6 +53,15 @@ _LAZY = {
         "ai_service_ocr_grading_handler_spark.operators.curation",
         "curate_corpus",
     ),
+    "paragraph_dedup": ("ai_service_ocr_grading_handler_spark.operators.dedup", "paragraph_dedup"),
+    "decontaminate": ("ai_service_ocr_grading_handler_spark.operators.dedup", "decontaminate"),
+    "pack_sequences": ("ai_service_ocr_grading_handler_spark.operators.packing", "pack_sequences"),
+    "chunk_documents": ("ai_service_ocr_grading_handler_spark.operators.packing", "chunk_documents"),
+    "deterministic_split": ("ai_service_ocr_grading_handler_spark.operators.sampling", "deterministic_split"),
+    "mix_sources": ("ai_service_ocr_grading_handler_spark.operators.sampling", "mix_sources"),
+    "semantic_dedup": ("ai_service_ocr_grading_handler_spark.operators.similarity", "semantic_dedup"),
+    "merge_upsert": ("ai_service_ocr_grading_handler_spark.plans.lineage", "merge_upsert"),
+    "read_ledger": ("ai_service_ocr_grading_handler_spark.plans.lineage", "read_ledger"),
     "read_pages": ("ai_service_ocr_grading_handler_spark.sources.pages", "read_pages"),
     "write_pages_partitioned": (
         "ai_service_ocr_grading_handler_spark.sources.pages",
