@@ -292,6 +292,36 @@ def test_rerun_of_completed_run_keeps_metrics_consistent(spark, tmp_path):
     assert v2["consistent"] and v2["rows"] == v1["rows"]
 
 
+def test_crash_between_data_commit_and_metrics_write_repairs(spark, tmp_path):
+    """The one commit window a plain append could never recover: the run's
+    DATA is committed but the process dies before the metrics write. The
+    replace-from-committed ledger means re-invoking the SAME run repairs
+    the ledger from the committed files — no duplicate urls (the frontier
+    already contains them), no lost metrics rows."""
+    from ai_service_ocr_grading_handler_spark.corpus import pages_df_from_documents
+    from ai_service_ocr_grading_handler_spark.plans import lineage
+
+    import shutil
+
+    out = str(tmp_path / "job")
+    pages = pages_df_from_documents(spark, "/root/testdata/sf0.001")
+    half = pages.filter(F.xxhash64("url") % 2 == 0)
+    rest_count = pages.count()
+    lineage.run_extract(spark, half, out, run_id="r1")
+    m2 = lineage.run_extract(spark, pages, out, run_id="r2")
+    assert lineage.verify_table(spark, out)["consistent"]
+    # emulate the crash state: r2's data is committed, its metrics are not
+    shutil.rmtree(f"{out}/metrics/run_id=r2")
+    broken = lineage.verify_table(spark, out)
+    assert not broken["consistent"]  # the window is DETECTABLE
+    # re-invoking the same run repairs the ledger from committed data
+    m2b = lineage.run_extract(spark, pages, out, run_id="r2")
+    assert m2b["rows_written"] == m2["rows_written"]
+    repaired = lineage.verify_table(spark, out)
+    assert repaired["consistent"]
+    assert repaired["rows"] == rest_count == repaired["distinct_urls"]
+
+
 def test_merge_upsert_gcs_old_versions(spark, tmp_path):
     """Superseded ledger snapshots are garbage-collected (current + one
     predecessor retained) — disk must not grow with merge count (review
