@@ -217,3 +217,128 @@ def sample_frames(media: DataFrame, every_k: int = 3) -> DataFrame:
         .select("doc_id", "kind", "media")
         .mapInArrow(kernel, schema=FRAME_DDL)
     )
+
+
+# --- real pixel ops: resize + the reference's stacked-crop geometry -------------
+
+
+def resize_rgb(
+    width: int, height: int, rgb: bytes, t_width: int, t_height: int
+) -> bytes:
+    """Nearest-neighbor RGB24 resize (numpy index selection — the brief's
+    multimodal 'resize' op, runnable with no image library)."""
+    import numpy as np
+
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    ys = np.arange(t_height) * height // t_height
+    xs = np.arange(t_width) * width // t_width
+    return a[ys][:, xs].tobytes()
+
+
+STACK_BORDER = 5  # px black border per crop (reference value)
+STACK_SPACING = 10  # px between crops
+STACK_MIN_WIDTH = 300  # canvas min width
+
+
+def stack_rgb_images(images: list) -> tuple[int, int, bytes]:
+    """The reference's number-crop stacking geometry
+    (/root/reference/engine/core/llm_number_prediction.py:83-99),
+    re-implemented over raw RGB24 with numpy: each crop gets a
+    {STACK_BORDER}px BLACK border, crops stack top-down LEFT-ALIGNED on a
+    WHITE canvas with {STACK_SPACING}px between them; canvas width =
+    max(widest crop + 2*border, {STACK_MIN_WIDTH}). `images` is a list of
+    (width, height, rgb_bytes); returns (width, height, rgb_bytes) of the
+    stacked canvas. Pixel-exact to the cv2 original's geometry (channel
+    order is RGB here vs cv2's BGR — orthogonal to layout)."""
+    import numpy as np
+
+    if not images:
+        raise ValueError("no images to stack")
+    b = STACK_BORDER
+    arrs = [
+        np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        for (w, h, rgb) in images
+    ]
+    max_width = max(max(a.shape[1] for a in arrs) + 2 * b, STACK_MIN_WIDTH)
+    total_h = (
+        sum(a.shape[0] for a in arrs)
+        + (len(arrs) - 1) * STACK_SPACING
+        + len(arrs) * 2 * b
+    )
+    canvas = np.full((total_h, max_width, 3), 255, dtype=np.uint8)
+    y = 0
+    for a in arrs:
+        h, w = a.shape[:2]
+        bordered = np.zeros((h + 2 * b, w + 2 * b, 3), dtype=np.uint8)
+        bordered[b : b + h, b : b + w] = a
+        canvas[y : y + h + 2 * b, : w + 2 * b] = bordered
+        y += h + 2 * b + STACK_SPACING
+    return max_width, total_h, canvas.tobytes()
+
+
+def synth_rgb(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic RGB gradient for a doc (fixture pixels — the S3 crop
+    download stands in; geometry and codecs are the real thing)."""
+    import numpy as np
+
+    ys, xs = np.mgrid[0:height, 0:width]
+    r = (xs * 37 + doc_id) % 256
+    g = (ys * 11 + doc_id * 3) % 256
+    bl = (xs + ys + doc_id * 7) % 256
+    return np.stack([r, g, bl], axis=-1).astype(np.uint8).tobytes()
+
+
+def crop_dims(doc_id: int) -> tuple[int, int]:
+    """Crop dimensions per doc — SQL-expressible for the oracle; widths
+    straddle STACK_MIN_WIDTH so both branches of the canvas-width max are
+    exercised."""
+    return 280 + (doc_id % 5) * 16, 20 + (doc_id % 7)
+
+
+def stacked_crops_df(spark: SparkSession, sf_dir: str, group: int = 50) -> DataFrame:
+    """Per-batch stacked-crop geometry over synthesized crops: documents
+    are bucketed (doc_id % group), each bucket's crops are stacked in
+    doc_id order with the reference geometry, and the REAL pixel pipeline
+    runs end-to-end — synth RGB -> stack -> PNG encode -> PNG decode
+    (stdlib codec) -> dims re-derived from decoded pixels. Output
+    (batch_id, n_images, stacked_w, stacked_h) is fully SQL-oracle-able;
+    pixel exactness is pinned by pytest."""
+    import pandas as pd
+
+    from ai_service_ocr_grading_handler_spark.core import pngx
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(group)).cast("int").alias("batch_id"),
+        )
+    )
+
+    def stack(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(int(d) for d in pdf["doc_id"])
+        images = []
+        for d in ids:
+            w, h = crop_dims(d)
+            images.append((w, h, synth_rgb(d, w, h)))
+        from ai_service_ocr_grading_handler_spark.operators.multimodal import (
+            decode_pixels,
+        )
+
+        w, h, rgb = stack_rgb_images(images)
+        # round-trip through the real codec: encode, decode, re-measure
+        dw, dh, _, drgb = decode_pixels(pngx.encode_png(w, h, rgb))
+        if (dw, dh) != (w, h) or drgb != rgb:
+            raise ValueError("stacked-crop PNG round-trip mismatch")
+        return pd.DataFrame(
+            {
+                "batch_id": [int(pdf["batch_id"].iloc[0])],
+                "n_images": [len(ids)],
+                "stacked_w": [dw],
+                "stacked_h": [dh],
+            }
+        )
+
+    return docs.groupBy("batch_id").applyInPandas(
+        stack, schema="batch_id int, n_images int, stacked_w int, stacked_h int"
+    )

@@ -873,6 +873,37 @@ from ai_service_ocr_grading_handler_spark.operators import multimodal as _mm
 from ai_service_ocr_grading_handler_spark.plans import lineage as _lin
 
 
+@register_library(
+    "stack_number_crops",
+    f"""
+    WITH crops AS (
+      SELECT (doc_id % 50)::int AS batch_id,
+             280 + (doc_id % 5) * 16 AS w,
+             20 + (doc_id % 7) AS h
+      FROM documents
+    )
+    SELECT batch_id,
+           count(*)::int AS n_images,
+           greatest(max(w) + 2 * {_mm.STACK_BORDER}, {_mm.STACK_MIN_WIDTH})::int
+             AS stacked_w,
+           (sum(h) + (count(*) - 1) * {_mm.STACK_SPACING}
+             + count(*) * 2 * {_mm.STACK_BORDER})::int AS stacked_h
+    FROM crops GROUP BY batch_id ORDER BY batch_id
+    """,
+)
+def q_stack_number_crops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's stacked-crop geometry (K7,
+    llm_number_prediction.py:83-99) run FOR REAL: per-batch synthetic RGB
+    crops are stacked (5px black borders, 10px spacing, white canvas,
+    min-width 300 — widths straddle the min so both max() branches fire),
+    round-tripped through the stdlib PNG codec, and the decoded canvas
+    dimensions are value-checked against the closed-form geometry in SQL.
+    Pixel-exact canvas content is pinned by pytest."""
+    return _mm.stacked_crops_df(spark, sf_dir, group=50).orderBy("batch_id")
+
+
+
+
 @register(
     "media_metadata",
     """

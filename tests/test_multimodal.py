@@ -116,6 +116,55 @@ def test_png_palette_index_out_of_range_raises():
         pngx.decode_png(bad)
 
 
+def test_stack_geometry_pixel_exact():
+    """The reference's stacked-crop layout (llm_number_prediction.py:83-99)
+    reproduced pixel-for-pixel: black borders, white canvas, left-aligned
+    crops, 10px white spacing, min-width padding."""
+    import numpy as np
+
+    # two tiny crops: 2x1 red, 3x2 green
+    red = bytes([200, 0, 0] * 2)
+    green = bytes([0, 150, 0] * 6)
+    w, h, rgb = mm.stack_rgb_images([(2, 1, red), (3, 2, green)])
+    b, sp = mm.STACK_BORDER, mm.STACK_SPACING
+    assert w == mm.STACK_MIN_WIDTH  # 3+10 < 300 -> min width wins
+    assert h == (1 + 2) + 2 * 2 * b + sp
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    # crop 1 pixel at (b, b); border black around it; canvas white to the right
+    assert tuple(a[b, b]) == (200, 0, 0)
+    assert tuple(a[0, 0]) == (0, 0, 0)              # top-left border black
+    assert tuple(a[b, 2 + 2 * b]) == (255, 255, 255)  # right of crop1's border
+    # spacing row between the crops is white
+    assert tuple(a[1 + 2 * b + sp // 2, 0]) == (255, 255, 255)
+    # crop 2 first pixel
+    y2 = 1 + 2 * b + sp
+    assert tuple(a[y2 + b, b]) == (0, 150, 0)
+    # round-trips the real codec byte-exactly
+    from ai_service_ocr_grading_handler_spark.core import pngx
+
+    assert pngx.decode_png(pngx.encode_png(w, h, rgb)) == (w, h, "RGB", rgb)
+    # widths past the minimum flip the max() branch
+    wide = mm.synth_rgb(1, 400, 2)
+    w2, _, _ = mm.stack_rgb_images([(400, 2, wide)])
+    assert w2 == 400 + 2 * b
+
+
+def test_resize_rgb_nearest_neighbor():
+    import numpy as np
+
+    # 4x2 gradient -> 2x1: picks pixels at x in {0,2}, y=0
+    src = bytes(v for x in range(8) for v in (x * 10, 0, 0))
+    a = np.frombuffer(src, dtype=np.uint8).reshape(2, 4, 3)
+    out = mm.resize_rgb(4, 2, src, 2, 1)
+    got = np.frombuffer(out, dtype=np.uint8).reshape(1, 2, 3)
+    assert tuple(got[0, 0]) == tuple(a[0, 0])
+    assert tuple(got[0, 1]) == tuple(a[0, 2])
+    # upscale replicates
+    up = mm.resize_rgb(4, 2, src, 8, 4)
+    u = np.frombuffer(up, dtype=np.uint8).reshape(4, 8, 3)
+    assert tuple(u[0, 0]) == tuple(u[1, 1]) == tuple(a[0, 0])
+
+
 def test_png_decoder_refuses_decompression_bombs():
     """Review finding: the raw-buffer size is known from IHDR before
     inflating — absurd dimensions refuse up front, and an IDAT inflating
