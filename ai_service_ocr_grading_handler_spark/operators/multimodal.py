@@ -342,3 +342,119 @@ def stacked_crops_df(spark: SparkSession, sf_dir: str, group: int = 50) -> DataF
     return docs.groupBy("batch_id").applyInPandas(
         stack, schema="batch_id int, n_images int, stacked_w int, stacked_h int"
     )
+
+
+# --- real audio ops: WAV parse + signal features --------------------------------
+
+def synth_wav(doc_id: int, n_frames: int | None = None) -> bytes:
+    """Deterministic 16-bit mono PCM WAV: an integer sawtooth whose period
+    and amplitude derive from doc_id (integer arithmetic only — no libm
+    floats, so the bytes are identical on every platform)."""
+    import io
+    import struct as _st
+    import wave
+
+    rate = 8000 + (doc_id % 4) * 4000  # 8/12/16/20 kHz
+    n = n_frames if n_frames is not None else 400 + (doc_id % 50) * 8
+    period = 20 + (doc_id % 30)
+    amp = 1000 + (doc_id % 7) * 500
+    frames = bytearray()
+    for i in range(n):
+        phase = i % period
+        # sawtooth in [-amp, +amp)
+        v = (2 * amp * phase) // period - amp
+        frames += _st.pack("<h", v)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def wav_features(blob: bytes) -> dict:
+    """REAL audio decode + feature extraction (the multimodal brief's
+    audio position) with nothing but the stdlib: RIFF/WAV container parse
+    via `wave`, then 16-bit PCM signal features — RMS energy and
+    zero-crossing count — computed from the raw samples. Raises
+    ValueError/wave.Error on malformed input; >16-bit or multi-channel
+    beyond stereo raise NotImplementedError."""
+    import io
+    import struct as _st
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(bytes(blob)), "rb") as w:
+            nch, width, rate, n = (
+                w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes(),
+            )
+            raw = w.readframes(n)
+    except (wave.Error, EOFError) as e:
+        raise ValueError(f"not a parseable WAV: {e}") from e
+    if width != 2 or nch not in (1, 2):
+        raise NotImplementedError("only 16-bit mono/stereo PCM supported")
+    samples = _st.unpack(f"<{len(raw) // 2}h", raw)
+    if nch == 2:  # average to mono for the features
+        samples = tuple(
+            (samples[i] + samples[i + 1]) // 2 for i in range(0, len(samples), 2)
+        )
+    if samples:
+        acc = 0
+        for s in samples:
+            acc += s * s
+        rms = (acc / len(samples)) ** 0.5
+        zc = sum(
+            1
+            for i in range(1, len(samples))
+            if (samples[i - 1] < 0) != (samples[i] < 0)
+        )
+    else:
+        rms, zc = 0.0, 0
+    return {
+        "n_channels": nch,
+        "sample_rate": rate,
+        "n_frames": n,
+        "duration_ms": (n * 1000) // rate,
+        "rms": round(rms, 3),
+        "zero_crossings": zc,
+    }
+
+
+def audio_features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc WAV synthesis -> REAL container parse + signal features,
+    Arrow-batched. Container fields (channels/rate/frames/duration) are
+    closed-form in doc_id, so the registry oracle value-checks them in
+    SQL; RMS/zero-crossings are pinned by pytest against the synth
+    formula."""
+    import pyarrow as pa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def kernel(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            feats = [wav_features(synth_wav(int(d))) for d in ids]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array([f["n_channels"] for f in feats], pa.int32()),
+                    pa.array([f["sample_rate"] for f in feats], pa.int32()),
+                    pa.array([f["n_frames"] for f in feats], pa.int32()),
+                    pa.array([f["duration_ms"] for f in feats], pa.int32()),
+                    pa.array([f["rms"] for f in feats], pa.float64()),
+                    pa.array([f["zero_crossings"] for f in feats], pa.int32()),
+                ],
+                names=[
+                    "doc_id", "n_channels", "sample_rate", "n_frames",
+                    "duration_ms", "rms", "zero_crossings",
+                ],
+            )
+
+    return docs.mapInArrow(
+        kernel,
+        schema=(
+            "doc_id bigint, n_channels int, sample_rate int, n_frames int,"
+            " duration_ms int, rms double, zero_crossings int"
+        ),
+    )

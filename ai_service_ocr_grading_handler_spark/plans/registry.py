@@ -874,6 +874,33 @@ from ai_service_ocr_grading_handler_spark.plans import lineage as _lin
 
 
 @register_library(
+    "audio_wav_features",
+    """
+    WITH a AS (
+      SELECT doc_id,
+             8000 + (doc_id % 4) * 4000 AS sample_rate,
+             (400 + (doc_id % 50) * 8)::int AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, 1::int AS n_channels, sample_rate::int AS sample_rate,
+           n_frames, ((n_frames * 1000) // sample_rate)::int AS duration_ms
+    FROM a ORDER BY doc_id
+    """,
+)
+def q_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio path (the multimodal brief's audio modality): per-doc
+    WAV synthesis (integer sawtooth, platform-identical bytes) -> stdlib
+    RIFF/WAV container parse -> PCM signal features, Arrow-batched. The
+    container fields are closed-form in doc_id and value-checked in SQL;
+    RMS/zero-crossings are pinned by pytest against the synth formula."""
+    return (
+        _mm.audio_features_df(spark, sf_dir)
+        .select("doc_id", "n_channels", "sample_rate", "n_frames", "duration_ms")
+        .orderBy("doc_id")
+    )
+
+
+@register_library(
     "stack_number_crops",
     f"""
     WITH crops AS (

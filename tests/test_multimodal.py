@@ -116,6 +116,53 @@ def test_png_palette_index_out_of_range_raises():
         pngx.decode_png(bad)
 
 
+def test_wav_features_match_independent_derivation():
+    """The WAV path runs for real: stdlib container parse + PCM features.
+    RMS/zero-crossings must equal an independent recomputation from the
+    sawtooth synth formula; malformed bytes raise typed errors."""
+    import struct as _st
+
+    for doc_id in (0, 3, 17, 123):
+        blob = mm.synth_wav(doc_id)
+        f = mm.wav_features(blob)
+        rate = 8000 + (doc_id % 4) * 4000
+        n = 400 + (doc_id % 50) * 8
+        period = 20 + (doc_id % 30)
+        amp = 1000 + (doc_id % 7) * 500
+        samples = [(2 * amp * (i % period)) // period - amp for i in range(n)]
+        rms = round((sum(s * s for s in samples) / n) ** 0.5, 3)
+        zc = sum(
+            1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0)
+        )
+        assert f == {
+            "n_channels": 1, "sample_rate": rate, "n_frames": n,
+            "duration_ms": (n * 1000) // rate, "rms": rms, "zero_crossings": zc,
+        }
+    # stereo averages to mono; >16-bit refuses; garbage raises ValueError
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(_st.pack("<4h", 100, 300, -100, -300))
+    st = mm.wav_features(buf.getvalue())
+    assert st["n_channels"] == 2 and st["n_frames"] == 2
+    assert st["zero_crossings"] == 1  # mono-averaged: +200 then -200
+    with pytest.raises(ValueError):
+        mm.wav_features(b"RIFFgarbage")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)
+        w.setframerate(8000)
+        w.writeframes(b"\x00" * 8)
+    with pytest.raises(NotImplementedError):
+        mm.wav_features(buf.getvalue())
+
+
 def test_stack_geometry_pixel_exact():
     """The reference's stacked-crop layout (llm_number_prediction.py:83-99)
     reproduced pixel-for-pixel: black borders, white canvas, left-aligned
