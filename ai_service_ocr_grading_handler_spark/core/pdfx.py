@@ -66,19 +66,28 @@ def _page_objects(objs: dict[int, bytes]) -> list[tuple[bytes, tuple]]:
             root_num = _ref(body, b"Pages")
             break
     pages: list[tuple[bytes, tuple]] = []
-    seen: set[int] = set()
+    path: set[int] = set()  # objects on the CURRENT descent only
 
-    def walk(num: int, inherited_mb) -> None:
-        if num in seen:  # cyclic /Kids (malformed) must not recurse forever
+    def walk(num: int, inherited_mb, depth: int = 0) -> None:
+        # cycle = revisit on the current path; a DAG (the same subtree
+        # referenced from two /Kids arrays, malformed but terminating)
+        # re-walks and emits its pages again — what a Kids-following
+        # reader does — instead of misdiagnosing a cycle (review finding)
+        if num in path:
             raise ValueError(f"cyclic page-tree reference to object {num}")
-        seen.add(num)
+        if depth > 256:
+            raise ValueError("page tree nested deeper than 256 levels")
         body = objs.get(num)
         if body is None:
             return
         mb = _media_box(body) or inherited_mb
         if b"/Kids" in body:
-            for kid in _refs_array(body, b"Kids"):
-                walk(kid, mb)
+            path.add(num)
+            try:
+                for kid in _refs_array(body, b"Kids"):
+                    walk(kid, mb, depth + 1)
+            finally:
+                path.discard(num)
         else:
             pages.append((body, mb or (0.0, 0.0, 612.0, 792.0)))
 

@@ -100,6 +100,12 @@ def decode_png(data: bytes) -> tuple[int, int, str, bytes]:
     raw = d.decompress(bytes(idat), expected + 1)
     if len(raw) != expected:
         raise ValueError("PNG IDAT length mismatch")
+    if not d.eof:
+        # exactly-expected bytes but the deflate stream never terminated:
+        # a truncated IDAT (trailer stripped) must fail like the plain
+        # zlib.decompress it replaced, not return pixels from a corrupt
+        # file (review finding)
+        raise ValueError("PNG IDAT truncated (deflate stream not terminated)")
 
     # unfilter scanlines in place
     out = bytearray(stride * height)

@@ -295,6 +295,12 @@ def crop_dims(doc_id: int) -> tuple[int, int]:
     return 280 + (doc_id % 5) * 16, 20 + (doc_id % 7)
 
 
+STACK_MAX_CROPS = 200  # per-batch cap: canvas stays ~8 MB, far under the
+# PNG codec's 64 MB raw bound; the cap is NOT silent — n_images in the
+# output shows it, and the oracle mirrors it (review finding: an uncapped
+# batch of ~1700+ crops would hit the codec bound task-fatally at large SF)
+
+
 def stacked_crops_df(spark: SparkSession, sf_dir: str, group: int = 50) -> DataFrame:
     """Per-batch stacked-crop geometry over synthesized crops: documents
     are bucketed (doc_id % group), each bucket's crops are stacked in
@@ -316,7 +322,7 @@ def stacked_crops_df(spark: SparkSession, sf_dir: str, group: int = 50) -> DataF
     )
 
     def stack(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(int(d) for d in pdf["doc_id"])
+        ids = sorted(int(d) for d in pdf["doc_id"])[:STACK_MAX_CROPS]
         images = []
         for d in ids:
             w, h = crop_dims(d)

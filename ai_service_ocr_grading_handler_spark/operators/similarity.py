@@ -404,11 +404,7 @@ def semantic_dedup(
     # once per consumer (verified in the executed plan — the round-2
     # ReusedExchange lesson). Persist through the shared bounded window.
     cells = _dd._persist_tracked(cells)
-    from ai_service_ocr_grading_handler_spark.operators.dedup import (
-        in_bucket_pairs_expr,
-    )
-
-    pairs = in_bucket_pairs_expr("vs")
+    pairs = _dd.in_bucket_pairs_expr("vs")
     obs = Observation()
     global _SEMDEDUP_BUILDS
     with _dd._PERSIST_LOCK:

@@ -906,7 +906,8 @@ def q_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH crops AS (
       SELECT (doc_id % 50)::int AS batch_id,
              280 + (doc_id % 5) * 16 AS w,
-             20 + (doc_id % 7) AS h
+             20 + (doc_id % 7) AS h,
+             row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) AS rn
       FROM documents
     )
     SELECT batch_id,
@@ -915,7 +916,7 @@ def q_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS stacked_w,
            (sum(h) + (count(*) - 1) * {_mm.STACK_SPACING}
              + count(*) * 2 * {_mm.STACK_BORDER})::int AS stacked_h
-    FROM crops GROUP BY batch_id ORDER BY batch_id
+    FROM crops WHERE rn <= {_mm.STACK_MAX_CROPS} GROUP BY batch_id ORDER BY batch_id
     """,
 )
 def q_stack_number_crops(spark: SparkSession, sf_dir: str) -> DataFrame:

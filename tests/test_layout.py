@@ -246,3 +246,37 @@ def test_xy_cut_handles_thousand_stacked_lines():
     ]
     ordered = _xy_cut(list(reversed(boxes)))
     assert [b.text for b in ordered] == [f"line {i}" for i in range(1500)]
+
+
+def test_pdf_dag_page_tree_terminates_cycle_still_raises():
+    """A shared subtree (DAG, malformed but terminating) re-emits its
+    pages instead of misdiagnosing a cycle; a true cycle still raises
+    (review finding)."""
+    from ai_service_ocr_grading_handler_spark.core import pdfx
+
+    import struct as _st
+    import zlib as _z
+
+    def chunkobj(num, body):
+        return f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+
+    content = b"4 0 obj\n<< /Length 30 >>\nstream\nBT /F1 9 Tf 5 10 Td (x) Tj ET\nendstream\nendobj\n"
+    dag = (
+        b"%PDF-1.4\n"
+        + chunkobj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + chunkobj(2, b"<< /Type /Pages /Kids [5 0 R 5 0 R] /Count 2 /MediaBox [0 0 100 100] >>")
+        + chunkobj(5, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+        + content
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    boxes = pdfx.extract_text_boxes(dag)
+    assert [b[0] for b in boxes] == [0, 1]  # page emitted twice, two page_nos
+    cyclic = (
+        b"%PDF-1.4\n"
+        + chunkobj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + chunkobj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        + chunkobj(3, b"<< /Type /Pages /Kids [2 0 R] /Count 1 >>")
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    with pytest.raises(ValueError, match="cyclic"):
+        pdfx.extract_text_boxes(cyclic)

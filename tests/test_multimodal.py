@@ -235,6 +235,17 @@ def test_png_decoder_refuses_decompression_bombs():
     fat = pngx._SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", _z.compress(b"\x00" * 100000)) + chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="mismatch"):
         pngx.decode_png(fat)
+    # truncated deflate stream that happens to yield exactly the expected
+    # bytes must still fail (d.eof check — review finding)
+    good = pngx.encode_png(2, 2, b"\x11" * 12)
+    idat_start = good.index(b"IDAT") + 4
+    (idat_len,) = _st.unpack(">I", good[good.index(b"IDAT") - 4 : good.index(b"IDAT")])
+    stream = good[idat_start : idat_start + idat_len]
+    # re-chunk with the trailer stripped
+    trunc = stream[:-5]
+    cut = pngx._SIG + chunk(b"IHDR", _st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)) + chunk(b"IDAT", trunc) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        pngx.decode_png(cut)
 
 
 def test_codec_fuzz_fails_cleanly():
