@@ -265,13 +265,17 @@ def test_codec_fuzz_fails_cleanly():
     @settings(max_examples=150, deadline=None)
     @given(st.binary(max_size=400))
     def run(b):
-        for fn in (pngx.decode_png, pdfx.extract_text_boxes):
+        for fn in (pngx.decode_png, pdfx.extract_text_boxes, mm.wav_features):
             try:
                 fn(b)
             except allowed:
                 pass
         # prefix-poisoned variants exercise the post-signature paths
-        for prefix in (pngx._SIG, b"%PDF-1.4\n"):
+        for prefix in (pngx._SIG, b"%PDF-1.4\n", b"RIFF"):
+            try:
+                mm.wav_features(prefix + b)
+            except allowed:
+                pass
             try:
                 pngx.decode_png(prefix + b)
             except allowed:
