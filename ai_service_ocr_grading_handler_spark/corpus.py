@@ -371,7 +371,12 @@ def pages_df_from_documents(spark, sf_dir: str, replicate: int = 1):
     """
     import pandas as pd
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # select BEFORE the kernel: a Python map node is a pruning barrier, so
+    # without this the scan reads every documents column (n_chars included)
+    # for a kernel that consumes four (caught by the ReadSchema plan lint)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
     n_rep = int(replicate)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -130,10 +130,13 @@ def test_curate_corpus_is_deterministic_and_idempotent(spark):
     assert once == again
     # curating an already-curated corpus changes nothing
     curated = curation.curate_corpus(df).cache()
-    twice = sorted(
-        (r.doc_id, r.text) for r in curation.curate_corpus(curated).collect()
-    )
-    assert twice == sorted((r.doc_id, r.text) for r in curated.collect())
+    try:
+        twice = sorted(
+            (r.doc_id, r.text) for r in curation.curate_corpus(curated).collect()
+        )
+        assert twice == sorted((r.doc_id, r.text) for r in curated.collect())
+    finally:
+        curated.unpersist()  # session-scoped spark: do not leak cache
 
 
 def test_curate_corpus_plan_shape(spark):

@@ -12,7 +12,9 @@ def _mismatches(pages_df):
     gold = pages_df.select("url", F.col("text").alias("gold"))
     ext = extract_pages(pages_df)
     j = ext.join(gold, "url")
-    return j.filter(F.col("text") != F.col("gold")).count(), j.count()
+    # NULL-safe: a regression to NULL extracted text must COUNT as a
+    # mismatch, not vanish through three-valued logic (review finding)
+    return j.filter(~F.col("text").eqNullSafe(F.col("gold"))).count(), j.count()
 
 
 def test_spark_byte_identity_documents(spark, sf_smoke):

@@ -21,7 +21,7 @@ _soup = st.lists(st.sampled_from(_TOKENS), max_size=80).map("".join)
 @settings(max_examples=300, deadline=None)
 @given(_soup)
 def test_total_and_deterministic(s):
-    b = s.encode("utf-8", errors="surrogatepass" if False else "replace")
+    b = s.encode("utf-8", errors="replace")
     r1 = extract_doc(b)
     r2 = extract_doc(b)
     assert r1.text == r2.text

@@ -186,18 +186,20 @@ def test_pdf_codec_malformed_structures_raise_typed_errors():
     )
     with pytest.raises(ValueError, match="cyclic"):
         pdfx.extract_text_boxes(cyclic)
-    # array operand where Tf expects a number
+    # array operand near Tf: `2 Tf` legitimately consumes the trailing
+    # number, so either a clean parse or ValueError is fine — a TypeError
+    # escaping would fail the test by propagation
     bad_ops = _one_page_pdf(b"BT /F [ (a) ] 2 Tf (x) Tj ET")
     try:
         pdfx.extract_text_boxes(bad_ops)
     except ValueError:
-        pass  # typed failure is acceptable; TypeError is not
-    # list hitting Td is the confirmed repro shape
-    bad_td = _one_page_pdf(b"BT [ (a) ] 5 Td (x) Tj ET")
-    try:
-        pdfx.extract_text_boxes(bad_td)
-    except ValueError:
         pass
+    # list reaching Td's numeric slot is the confirmed repro: it MUST
+    # raise ValueError (review finding: the old try/except asserted
+    # nothing if the parser silently accepted garbage)
+    bad_td = _one_page_pdf(b"BT [ (a) ] 5 Td (x) Tj ET")
+    with pytest.raises(ValueError):
+        pdfx.extract_text_boxes(bad_td)
 
 
 def test_spark_layout_byte_identity(spark):

@@ -17,22 +17,25 @@ def _docs(spark):
 def test_packs_respect_budget_and_cover_every_doc(spark):
     docs = _docs(spark)
     packed = packing.pack_sequences(docs, max_tokens=512, n_groups=8).cache()
-    # every doc exactly once
-    assert packed.count() == docs.count()
-    assert packed.select("doc_id").distinct().count() == docs.count()
-    # no multi-doc pack exceeds the budget; only oversize singletons may
-    per_pack = packed.groupBy("group_id", "pack_id").agg(
-        F.sum("n_tokens").alias("tot"),
-        F.count(F.lit(1)).alias("n_docs"),
-        F.max(F.col("oversize").cast("int")).alias("over"),
-    )
-    bad = per_pack.filter((F.col("tot") > 512) & (F.col("over") == 0)).count()
-    assert bad == 0
-    # an oversize doc is always alone in its pack
-    assert per_pack.filter((F.col("over") == 1) & (F.col("n_docs") > 1)).count() == 0
-    stats = packing.packing_stats(packed, max_tokens=512).collect()[0]
-    assert stats.n_packs == per_pack.count()
-    assert 0 < stats.mean_fill <= 1.0
+    try:
+        # every doc exactly once
+        assert packed.count() == docs.count()
+        assert packed.select("doc_id").distinct().count() == docs.count()
+        # no multi-doc pack exceeds the budget; only oversize singletons may
+        per_pack = packed.groupBy("group_id", "pack_id").agg(
+            F.sum("n_tokens").alias("tot"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(F.col("oversize").cast("int")).alias("over"),
+        )
+        bad = per_pack.filter((F.col("tot") > 512) & (F.col("over") == 0)).count()
+        assert bad == 0
+        # an oversize doc is always alone in its pack
+        assert per_pack.filter((F.col("over") == 1) & (F.col("n_docs") > 1)).count() == 0
+        stats = packing.packing_stats(packed, max_tokens=512).collect()[0]
+        assert stats.n_packs == per_pack.count()
+        assert 0 < stats.mean_fill <= 1.0
+    finally:
+        packed.unpersist()  # session-scoped spark: do not leak cache (review)
 
 
 def test_packing_is_partitioning_independent(spark):

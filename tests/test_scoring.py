@@ -39,6 +39,7 @@ def test_grade_matches_reference_oracle(spark):
     assert row["max_score"] == omax == 5.5
     assert row["is_correct"] == T.correctness_flag(oscore, omax) is False
     got = [r.asDict() for r in row["rubric_wise_response"]]
+    assert len(got) == len(oracle_resp)  # zip must not truncate (review)
     for g, o in zip(got, oracle_resp):
         assert g["rubricId"] == o["rubricId"]
         assert g["rubricWiseScore"] == o["rubricWiseScore"]

@@ -75,7 +75,13 @@ def test_available_now_is_exactly_once_across_restarts(spark, tmp_path):
 
 def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     src = str(tmp_path / "events_dup")
-    ev = spark.read.parquet(f"{SF}/events.parquet").limit(500)
+    # DETERMINISTIC subset (review finding: an unordered limit() is
+    # re-evaluated per consumer — the two unionAll branches could pick
+    # DIFFERENT 500-row subsets, silently weakening the redelivery
+    # premise); filter by key instead of limit
+    ev = spark.read.parquet(f"{SF}/events.parquet").filter("event_id % 2 = 0")
+    n = ev.count()
+    assert n > 0
     dup = ev.unionAll(ev)  # every event redelivered once
     dup.repartition(4).write.mode("overwrite").parquet(src)
 
@@ -84,8 +90,8 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path):
         deduped, str(tmp_path / "ckpt"), str(tmp_path / "out")
     )
     out = spark.read.parquet(str(tmp_path / "out"))
-    assert out.count() == ev.count()
-    assert out.select("event_id").distinct().count() == ev.count()
+    assert out.count() == n
+    assert out.select("event_id").distinct().count() == n
 
 
 def test_stateful_running_totals_survive_restart(spark, tmp_path):

@@ -40,10 +40,14 @@ def adv(spark):
 
 
 def test_quality_and_fingerprint_columns_total(spark, adv):
+    # collect(), NEVER count(): Catalyst prunes unreferenced projection
+    # columns under count(), so the tested expressions would not execute
+    # at all and the sweep would be vacuous (review finding — verified:
+    # count() succeeded over an expression that provably throws)
     cols = [
         F.inline(F.array(textquality.quality_row("text"))),
     ]
-    assert adv.select("doc_id", *cols).count() == len(ADVERSARIAL)
+    assert len(adv.select("doc_id", *cols).collect()) == len(ADVERSARIAL)
     more = adv.select(
         "doc_id",
         textquality.bpe_token_count("text").alias("bpe"),
@@ -53,28 +57,30 @@ def test_quality_and_fingerprint_columns_total(spark, adv):
         curation.line_dedup("text").alias("ld"),
         dedup.pii_redact("text").alias("pii"),
     )
-    assert more.count() == len(ADVERSARIAL)
+    assert len(more.collect()) == len(ADVERSARIAL)
 
 
 def test_dedup_tiers_total(spark, adv):
+    # collect(), not count(): count() lets Catalyst prune non-key
+    # aggregate/projection expressions (review finding)
     nn = adv.filter(F.col("text").isNotNull())
-    assert dedup.exact_dedup(nn).count() > 0
-    dedup.jaccard_pairs(nn).count()
-    dedup.minhash_lsh_neardups(nn).count()
-    dedup.simhash_neardup_pairs(nn).count()
-    dedup.paragraph_dedup(nn).count()
+    assert len(dedup.exact_dedup(nn).collect()) > 0
+    dedup.jaccard_pairs(nn).collect()
+    dedup.minhash_lsh_neardups(nn).collect()
+    dedup.simhash_neardup_pairs(nn).collect()
+    dedup.paragraph_dedup(nn).collect()
 
 
 def test_curation_packing_total(spark, adv):
     nn = adv.filter(F.col("text").isNotNull())
-    curation.curate_corpus(nn).count()
-    packing.pack_sequences(nn, max_tokens=64).count()
-    packing.chunk_documents(nn, window=10, stride=5).count()
+    curation.curate_corpus(nn).collect()
+    packing.pack_sequences(nn, max_tokens=64).collect()
+    packing.chunk_documents(nn, window=10, stride=5).collect()
     df = nn.withColumn("source", F.lit("src1"))
     sampling.mix_sources(
         sampling.deterministic_split(df, {"train": 0.9, "val": 0.1}),
         {"src1": 1.5},
-    ).count()
+    ).collect()
 
 
 def test_decontaminate_total(spark, adv):
@@ -82,7 +88,7 @@ def test_decontaminate_total(spark, adv):
     bench = spark.createDataFrame(
         [(100, ""), (101, None), (102, "one two three")], "doc_id bigint, text string"
     ).filter(F.col("text").isNotNull())
-    assert dedup.decontaminate(nn, bench).count() == nn.count()  # no 13-gram overlaps
+    assert len(dedup.decontaminate(nn, bench).collect()) == nn.count()  # no 13-gram overlaps
 
 
 def test_semantic_dedup_total_over_poisoned_embeddings(spark):
