@@ -165,7 +165,7 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_library(
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
@@ -773,7 +773,7 @@ def q_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_library(
+@register(
     "semantic_dedup",
     f"""
     WITH corpus AS ({_sim.NEARDUP_CORPUS_DUCK}),
@@ -873,7 +873,7 @@ from ai_service_ocr_grading_handler_spark.operators import multimodal as _mm
 from ai_service_ocr_grading_handler_spark.plans import lineage as _lin
 
 
-@register_library(
+@register(
     "audio_wav_features",
     """
     WITH a AS (
@@ -900,7 +900,7 @@ def q_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_library(
+@register(
     "stack_number_crops",
     f"""
     WITH crops AS (
@@ -1782,7 +1782,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_library(
     "events_percentiles",
     """
     SELECT event_type,
@@ -1990,7 +1990,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_library(
     "label_centroids",
     f"""
     WITH per_dim AS (
@@ -2599,18 +2599,20 @@ _PRIORITY = [
     "extract_layout_docs",
     "content_block_spans",
     "minhash_lsh_neardups",
+    "semantic_dedup",
     "curate_corpus",
     "paragraph_dedup",
     "pack_sequences",
     "chunk_documents",
     "split_and_mix",
     "decontaminate",
+    "stack_number_crops",
+    "audio_wav_features",
     "message_dialects",
     "message_dialects_vision",
     "credit_writeback",
     "question_format",
     "corpus_top_ngrams",
-    "label_centroids",
     "grade_requests",
     "ensemble_number_batch",
     "essay_fanout_concat",

@@ -165,7 +165,10 @@ def run_headline(
     for k, v in saved.items():
         spark.conf.set(k, v)
     times["extract_pages_bench"] = round(sec, 3)
-    qs = registry.queries()
+    # headline names resolve across BOTH tiers: a query demoted from the
+    # driver's 50-slot correctness window into the library keeps its
+    # headline timing slot, so BENCH_r{N} stays comparable across rounds
+    qs = {**registry.library_queries(), **registry.queries()}
     missing = [n for n in HEADLINE if n != "extract_pages_bench" and n not in qs]
     if missing:
         # fail fast: silently skipping a renamed/demoted headline query

@@ -39,7 +39,7 @@ def test_no_cartesian_product(spark, name):
     ["q1_pricing_summary", "q3_shipping_priority", "doc_token_stats"],
 )
 def test_filters_reach_the_scan(spark, name):
-    df = registry.queries()[name](spark, SF)
+    df = _ALL_QUERIES[name](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     import re as _re
 
@@ -110,7 +110,7 @@ def test_no_driver_actions_inside_registry():
 
 def test_broadcast_joins_where_intended(spark):
     for name in ["q3_shipping_priority", "route_requests", "prompt_assembly"]:
-        df = registry.queries()[name](spark, SF)
+        df = _ALL_QUERIES[name](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
 
