@@ -29,6 +29,9 @@ __all__ = [
     "deterministic_split",
     "mix_sources",
     "semantic_dedup",
+    # cross-run incremental dedup (append-only frontier)
+    "exact_dedup_incremental",
+    "minhash_incremental",
     # keyed ledger (MERGE INTO emulation)
     "merge_upsert",
     "read_ledger",
@@ -54,6 +57,14 @@ _LAZY = {
         "curate_corpus",
     ),
     "paragraph_dedup": ("ai_service_ocr_grading_handler_spark.operators.dedup", "paragraph_dedup"),
+    "exact_dedup_incremental": (
+        "ai_service_ocr_grading_handler_spark.operators.dedup",
+        "exact_dedup_incremental",
+    ),
+    "minhash_incremental": (
+        "ai_service_ocr_grading_handler_spark.operators.dedup",
+        "minhash_incremental",
+    ),
     "decontaminate": ("ai_service_ocr_grading_handler_spark.operators.dedup", "decontaminate"),
     "pack_sequences": ("ai_service_ocr_grading_handler_spark.operators.packing", "pack_sequences"),
     "chunk_documents": ("ai_service_ocr_grading_handler_spark.operators.packing", "chunk_documents"),

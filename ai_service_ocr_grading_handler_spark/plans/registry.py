@@ -719,6 +719,63 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frontier split for the incremental-dedup tier: the planted dup corpus is
+# base docs (doc_id < 1M, "committed by a prior run") plus +1M exact and
+# +2M near copies (the "new" slice) — monotone ids, the append-only lake
+# contract the incremental operators document.
+_COMMITTED_FRONTIER = 1000000
+
+
+@register_library(
+    "exact_dedup_incremental",
+    f"""
+    WITH dup AS ({_dd.DUP_CORPUS_DUCK}),
+    committed AS (SELECT * FROM dup WHERE doc_id < {_COMMITTED_FRONTIER}),
+    new AS (SELECT * FROM dup WHERE doc_id >= {_COMMITTED_FRONTIER})
+    SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM new
+    WHERE md5(text) NOT IN (SELECT md5(text) FROM committed)
+    GROUP BY 1 ORDER BY content_md5
+    """,
+)
+def q_exact_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run exact dedup: only the NEW slice is hashed; content the
+    committed ledger already holds is dropped by hash anti-join (the +1M
+    exact copies all vanish; the +2M last-word-dropped near copies are new
+    content and survive). run(A)+run(B|A) ≡ run(A∪B) is pinned by
+    tests/test_dedup.py."""
+    corpus = _dd.dup_corpus(spark, sf_dir)
+    committed = corpus.filter(F.col("doc_id") < _COMMITTED_FRONTIER)
+    new = corpus.filter(F.col("doc_id") >= _COMMITTED_FRONTIER)
+    return _dd.exact_dedup_incremental(new, _dd.exact_dedup(committed)).orderBy(
+        "content_md5"
+    )
+
+
+@register_library(
+    "minhash_incremental",
+    f"""
+    SELECT * FROM ({_dd.minhash_lsh_duck(_dd.DUP_CORPUS_DUCK, 0.6)})
+    WHERE b_id >= {_COMMITTED_FRONTIER} ORDER BY a_id, b_id
+    """,
+)
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run MinHash near-dup detection: the committed corpus
+    contributes only its STORED band keys (minhash_bands_df output — the
+    signature store); only new docs are shingled/signed, and committed
+    text is read just for verify-stage candidates. The oracle is the full
+    corpus's pair oracle restricted to pairs involving a new id (b_id past
+    the frontier — ids are monotone), which is exactly the incremental
+    contract."""
+    corpus = _dd.dup_corpus(spark, sf_dir)
+    committed = corpus.filter(F.col("doc_id") < _COMMITTED_FRONTIER)
+    new = corpus.filter(F.col("doc_id") >= _COMMITTED_FRONTIER)
+    return _dd.minhash_incremental(
+        new, committed, _dd.minhash_bands_df(committed)
+    ).orderBy("a_id", "b_id")
+
+
 _SIMHASH_DUCK = _dd.simhash_duck_expr("wh")
 
 

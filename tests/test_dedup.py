@@ -480,3 +480,59 @@ def test_quality_row_struct_equals_column_forms(spark):
     assert a.astype(str).equals(b.astype(str)), (
         "struct vs column forms diverged:\n" + a.compare(b).to_string()
     )
+
+
+def test_exact_dedup_incremental_equals_full_run(spark):
+    """run(A) + run(B | ledger(A)) ≡ run(A ∪ B) on (content_md5,
+    canonical_id) under the monotone-id frontier; overlapping hashes keep
+    the committed row (n_copies of new copies of old content stays with
+    the run that committed the content)."""
+    corpus = dedup.dup_corpus(spark, SF)
+    committed = corpus.filter(F.col("doc_id") < 1000000)
+    new = corpus.filter(F.col("doc_id") >= 1000000)
+    ledger = dedup.exact_dedup(committed)
+    inc = dedup.exact_dedup_incremental(new, ledger)
+    full = dedup.exact_dedup(corpus)
+
+    combined = {
+        (r.content_md5, r.canonical_id) for r in ledger.collect()
+    } | {(r.content_md5, r.canonical_id) for r in inc.collect()}
+    assert combined == {
+        (r.content_md5, r.canonical_id) for r in full.collect()
+    }
+    # the incremental slice found the NEW content (the +2M near copies)
+    # and none of the already-committed content (the +1M exact copies)
+    inc_ids = {r.canonical_id for r in inc.collect()}
+    assert inc_ids and all(i >= 2000000 for i in inc_ids)
+    # hashes unique to one side carry identical n_copies in both runs
+    full_rows = {r.content_md5: r for r in full.collect()}
+    for r in inc.collect():
+        assert full_rows[r.content_md5].n_copies == r.n_copies
+
+
+def test_minhash_incremental_equals_full_run(spark):
+    """Pair-set equivalence: the full run's pairs = the committed run's
+    pairs ∪ the incremental run's pairs (which reuses the committed BAND
+    table rather than re-signing the committed corpus)."""
+    corpus = dedup.dup_corpus(spark, SF)
+    committed = corpus.filter(F.col("doc_id") < 1000000)
+    new = corpus.filter(F.col("doc_id") >= 1000000)
+
+    key = lambda r: (r.a_id, r.b_id, r.shared, r.jaccard)
+    committed_pairs = {key(r) for r in dedup.minhash_lsh_neardups(committed).collect()}
+    inc_pairs = {
+        key(r)
+        for r in dedup.minhash_incremental(
+            new, committed, dedup.minhash_bands_df(committed)
+        ).collect()
+    }
+    full_pairs = {key(r) for r in dedup.minhash_lsh_neardups(corpus).collect()}
+
+    assert inc_pairs, "incremental run found nothing"
+    # every incremental pair involves a new doc; none were in the committed run
+    assert all(b >= 1000000 for (_, b, _, _) in inc_pairs)
+    assert not (inc_pairs & committed_pairs)
+    assert committed_pairs | inc_pairs == full_pairs
+    # new-vs-new pairs exist too (the +1M exact copy and the +2M near copy
+    # of the same base doc are near-dups of each other)
+    assert any(a >= 1000000 for (a, _, _, _) in inc_pairs)
