@@ -536,3 +536,46 @@ def test_minhash_incremental_equals_full_run(spark):
     # new-vs-new pairs exist too (the +1M exact copy and the +2M near copy
     # of the same base doc are near-dups of each other)
     assert any(a >= 1000000 for (a, _, _, _) in inc_pairs)
+
+
+def test_persist_window_survives_concurrent_invocations(spark):
+    """Dedup invocations running from CONCURRENT threads share the bounded
+    persist FIFO (_PERSISTED). Six concurrent invocations track more
+    frames than the 2*_PERSIST_KEEP window holds, so eviction fires WHILE
+    queries are in flight — eviction must mean unpersist-and-recompute,
+    never a wrong or failed result (round-3 review ask: the window was
+    locked and bounded but never exercised from threads)."""
+    import concurrent.futures
+
+    corpus = dedup.dup_corpus(spark, SF)
+    emb = similarity.neardup_corpus(spark, SF)
+    expected = {
+        0.6: {(r.a_id, r.b_id) for r in dedup.minhash_lsh_neardups(corpus, threshold=0.6).collect()},
+        0.9: {(r.a_id, r.b_id) for r in dedup.minhash_lsh_neardups(corpus, threshold=0.9).collect()},
+    }
+    sem_expected = {r.vec_id for r in similarity.semantic_dedup(emb).collect()}
+    assert expected[0.6] and sem_expected
+
+    def run_minhash(th):
+        return {
+            (r.a_id, r.b_id)
+            for r in dedup.minhash_lsh_neardups(corpus, threshold=th).collect()
+        }
+
+    def run_sem():
+        return {r.vec_id for r in similarity.semantic_dedup(emb).collect()}
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
+        futs = [
+            ex.submit(run_minhash, 0.6),
+            ex.submit(run_minhash, 0.9),
+            ex.submit(run_sem),
+            ex.submit(run_minhash, 0.6),
+            ex.submit(run_sem),
+            ex.submit(run_minhash, 0.9),
+        ]
+        results = [f.result(timeout=300) for f in futs]
+
+    assert results[0] == expected[0.6] == results[3]
+    assert results[1] == expected[0.9] == results[5]
+    assert results[2] == sem_expected == results[4]
