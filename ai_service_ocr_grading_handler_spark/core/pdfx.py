@@ -11,9 +11,17 @@ caller applies the same y-flip/em-box math as the pypdf branch so both
 codecs feed the XY-cut kernel identically.
 
 Scope (documented contract, ValueError/NotImplementedError beyond it):
-- classic xref PDFs with uncompressed object structure (`N 0 obj ...
-  endobj` scannable); object streams (/ObjStm) are NOT supported;
-- content streams raw or FlateDecode;
+- top-level objects `N 0 obj ... endobj` scannable (classic-xref layout,
+  and PDF 1.5+ xref-STREAM layouts, whose top-level objects are scannable
+  the same way — the xref table itself is never needed because objects
+  are found by scanning); objects packed into object streams (/ObjStm,
+  the other PDF 1.5 compression) are unpacked via `_expand_object_streams`;
+- stream filters: FlateDecode, LZWDecode (9->12-bit PDF variant with
+  /EarlyChange), ASCIIHexDecode, ASCII85Decode — as a /Filter CHAIN with
+  per-filter /DecodeParms, including PNG predictors 10-15 (/Predictor,
+  /Columns, /Colors, /BitsPerComponent) on Flate/LZW output. Crypt and
+  image-only filters (DCT/JBIG2/JPX/CCITT/RunLength) raise
+  NotImplementedError;
 - literal `(...)` strings with escapes and hex `<...>` strings, Latin-1
   bytes (no CMap/TrueType cmap decoding — fixture-grade text);
 - text ops BT ET Tf Td TD Tm T* Tj ' TJ, graphics ops cm q Q. TJ emits
@@ -23,6 +31,7 @@ Scope (documented contract, ValueError/NotImplementedError beyond it):
 
 from __future__ import annotations
 
+import base64
 import re
 import zlib
 
@@ -101,6 +110,206 @@ def _page_objects(objs: dict[int, bytes]) -> list[tuple[bytes, tuple]]:
     return pages
 
 
+# --- stream filters ----------------------------------------------------------
+
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_PARMS_RE = re.compile(rb"/(?:DecodeParms|DP)\s*(\[.*?\]|<<.*?>>|null)", re.DOTALL)
+_PARM_DICT_RE = re.compile(rb"<<.*?>>|null", re.DOTALL)
+_INT_KEY_RE = re.compile(rb"/(Predictor|Columns|Colors|BitsPerComponent|EarlyChange)\s+(\d+)")
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    hexs = re.sub(rb"\s", b"", data)
+    if len(hexs) % 2:
+        hexs += b"0"
+    try:
+        return bytes.fromhex(hexs.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise ValueError(f"corrupt ASCIIHexDecode stream: {e}") from e
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    data = re.sub(rb"\s", b"", data)
+    if data.endswith(b"~>"):
+        data = data[:-2]
+    # normalize to Adobe framing so base64 handles the 'z' shortcut and
+    # final-group padding per the PDF (Adobe) variant
+    try:
+        return base64.a85decode(b"<~" + data + b"~>", adobe=True)
+    except ValueError as e:
+        raise ValueError(f"corrupt ASCII85Decode stream: {e}") from e
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode: variable 9->12-bit codes, Clear=256, EOD=257, code
+    width grows one code early unless /EarlyChange 0."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    bitbuf = 0
+    nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                del table[258:]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("corrupt LZW stream: first code out of range")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream: code beyond table")
+            # /EarlyChange 1 (default): the code width grows one code
+            # earlier than the table strictly requires
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+            out += entry
+            prev = entry
+    return bytes(out)
+
+
+def _png_predictor(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
+    """Reverse PNG row predictors 10-15 (each row: one filter byte + raw
+    row). Xref streams almost always use /Predictor 12 (Up)."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if rowlen <= 0:
+        raise ValueError("PNG predictor with non-positive row length")
+    if len(data) % (rowlen + 1):
+        raise ValueError("PNG-predicted stream is not a whole number of rows")
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for i in range(0, len(data), rowlen + 1):
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                row[j] = (row[j] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG predictor filter byte {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_parms(body: bytes, n_filters: int) -> list[dict[str, int]]:
+    """Per-filter parameter dicts (ints only: Predictor/Columns/Colors/
+    BitsPerComponent/EarlyChange), aligned with the /Filter chain."""
+    m = _PARMS_RE.search(body)
+    if not m:
+        return [{} for _ in range(n_filters)]
+    section = m.group(1)
+    if section.startswith(b"["):
+        dicts = _PARM_DICT_RE.findall(section)
+    else:
+        dicts = [section]
+    parms = [
+        {k.decode(): int(v) for k, v in _INT_KEY_RE.findall(d)} for d in dicts
+    ]
+    parms += [{} for _ in range(n_filters - len(parms))]
+    return parms[:n_filters]
+
+
+def decode_stream(body: bytes, data: bytes) -> bytes:
+    """Apply the stream dict's full /Filter chain (with /DecodeParms) to
+    raw stream bytes. Raw (no /Filter) streams pass through."""
+    m = _FILTER_RE.search(body)
+    if not m:
+        return data
+    names = re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
+    parms = _decode_parms(body, len(names))
+    for name, parm in zip(names, parms):
+        if name == b"FlateDecode" or name == b"Fl":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:
+                raise ValueError(f"corrupt FlateDecode stream: {e}") from e
+        elif name == b"LZWDecode" or name == b"LZW":
+            data = _lzw_decode(data, parm.get("EarlyChange", 1))
+        elif name == b"ASCIIHexDecode" or name == b"AHx":
+            data = _asciihex_decode(data)
+        elif name == b"ASCII85Decode" or name == b"A85":
+            data = _ascii85_decode(data)
+        else:
+            raise NotImplementedError(f"PDF filter {name.decode()} unsupported")
+        pred = parm.get("Predictor", 1)
+        if pred >= 10 and name in (b"FlateDecode", b"Fl", b"LZWDecode", b"LZW"):
+            data = _png_predictor(
+                data,
+                parm.get("Colors", 1),
+                parm.get("BitsPerComponent", 8),
+                parm.get("Columns", 1),
+            )
+        elif pred not in (0, 1):
+            raise NotImplementedError(f"TIFF predictor {pred} unsupported")
+    return data
+
+
+def _expand_object_streams(objs: dict[int, bytes]) -> dict[int, bytes]:
+    """Unpack /Type /ObjStm objects (PDF 1.5 compressed object streams):
+    the stream holds /N (objnum, offset) integer pairs in its first /First
+    bytes, then the object bodies back-to-back. Contained objects are
+    added to the object map (never overwriting a scanned top-level object
+    of the same number); per spec they cannot themselves hold streams, so
+    downstream body parsing is unchanged."""
+    for body in list(objs.values()):
+        if b"/ObjStm" not in body or b"/Type" not in body:
+            continue
+        m = _STREAM_RE.search(body)
+        if not m:
+            continue
+        data = decode_stream(body, m.group(1))
+        n_m = re.search(rb"/N\s+(\d+)", body)
+        first_m = re.search(rb"/First\s+(\d+)", body)
+        if not n_m or not first_m:
+            raise ValueError("object stream missing /N or /First")
+        n, first = int(n_m.group(1)), int(first_m.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            raise ValueError("object stream header shorter than /N pairs")
+        nums = [int(x) for x in header[0 : 2 * n : 2]]
+        offs = [int(x) for x in header[1 : 2 * n : 2]]
+        for k in range(n):
+            end = first + offs[k + 1] if k + 1 < n else len(data)
+            objs.setdefault(nums[k], data[first + offs[k] : end])
+    return objs
+
+
 def _content_bytes(page_body: bytes, objs: dict[int, bytes]) -> bytes:
     out = []
     for num in _refs_array(page_body, b"Contents"):
@@ -108,12 +317,7 @@ def _content_bytes(page_body: bytes, objs: dict[int, bytes]) -> bytes:
         m = _STREAM_RE.search(body)
         if not m:
             continue
-        data = m.group(1)
-        if b"/FlateDecode" in body:
-            data = zlib.decompress(data)
-        elif b"/Filter" in body:
-            raise NotImplementedError("only FlateDecode/raw content streams")
-        out.append(data)
+        out.append(decode_stream(body, m.group(1)))
     return b"\n".join(out)
 
 
@@ -322,9 +526,9 @@ def extract_text_boxes(blob: bytes):
     blob = bytes(blob)
     if not blob.startswith(b"%PDF"):
         raise ValueError("not a PDF (missing %PDF header)")
-    objs = _find_objects(blob)
+    objs = _expand_object_streams(_find_objects(blob))
     if not objs:
-        raise ValueError("no parseable PDF objects (object streams unsupported)")
+        raise ValueError("no parseable PDF objects")
     out = []
     for pno, (page_body, mb) in enumerate(_page_objects(objs)):
         data = _content_bytes(page_body, objs)

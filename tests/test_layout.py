@@ -282,3 +282,153 @@ def test_pdf_dag_page_tree_terminates_cycle_still_raises():
     )
     with pytest.raises(ValueError, match="cyclic"):
         pdfx.extract_text_boxes(cyclic)
+
+
+# --- round-4 filter breadth: ASCIIHex/ASCII85/LZW, predictors, ObjStm ---------
+
+
+def test_lzw_decode_spec_vector():
+    """The PDF 1.7 spec's own LZWDecode example (7.4.4.2): 9-bit codes
+    256 45 258 258 65 259 66 257 packed as 80 0B 60 50 22 0C 0C 85 01
+    decode to 45x5 65 45x3 66."""
+    from ai_service_ocr_grading_handler_spark.core import pdfx
+
+    encoded = bytes.fromhex("800B6050220C0C8501")
+    assert pdfx._lzw_decode(encoded) == bytes([45] * 5 + [65] + [45] * 3 + [66])
+
+
+def _filtered_one_page_pdf(stream: bytes, filter_entry: bytes) -> bytes:
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1"
+        b" /MediaBox [0 0 612 792] >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        + b"4 0 obj\n<< /Length " + str(len(stream)).encode()
+        + b" " + filter_entry + b" >>\n"
+        + b"stream\n" + stream + b"\nendstream\nendobj\n"
+        + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+_FILTER_CONTENT = b"BT /F1 12 Tf 72 700 Td (filtered text) Tj ET\n"
+
+
+def test_asciihex_ascii85_and_chained_filters():
+    import base64
+    import zlib as _z
+
+    from ai_service_ocr_grading_handler_spark.core import pdfx
+
+    expect = [(0, 72.0, 700.0, 12.0, "filtered text", 792.0)]
+    hex_pdf = _filtered_one_page_pdf(
+        _FILTER_CONTENT.hex().encode() + b">", b"/Filter /ASCIIHexDecode"
+    )
+    assert pdfx.extract_text_boxes(hex_pdf) == expect
+
+    a85 = base64.a85encode(_FILTER_CONTENT, adobe=True)[2:]  # strip <~, keep ~>
+    a85_pdf = _filtered_one_page_pdf(a85, b"/Filter /ASCII85Decode")
+    assert pdfx.extract_text_boxes(a85_pdf) == expect
+
+    # chain: decode order is array order — ASCII85 first, then Flate
+    chained = base64.a85encode(_z.compress(_FILTER_CONTENT), adobe=True)[2:]
+    chain_pdf = _filtered_one_page_pdf(
+        chained, b"/Filter [/ASCII85Decode /FlateDecode]"
+    )
+    assert pdfx.extract_text_boxes(chain_pdf) == expect
+
+
+def test_flate_with_png_up_predictor():
+    """A Flate stream with /Predictor 12 (PNG Up) and /Columns reconstructs
+    — the encoding every xref stream in the wild uses."""
+    import zlib as _z
+
+    from ai_service_ocr_grading_handler_spark.core import pdfx
+
+    cols = 16
+    data = _FILTER_CONTENT + b" " * ((-len(_FILTER_CONTENT)) % cols)
+    rows = [data[i : i + cols] for i in range(0, len(data), cols)]
+    prev = bytes(cols)
+    filtered = bytearray()
+    for row in rows:
+        filtered.append(2)  # Up
+        filtered += bytes((c - p) & 0xFF for c, p in zip(row, prev))
+        prev = row
+    pdf = _filtered_one_page_pdf(
+        _z.compress(bytes(filtered)),
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 16 >>",
+    )
+    boxes = pdfx.extract_text_boxes(pdf)
+    assert [b[4] for b in boxes] == ["filtered text"]
+
+
+def test_object_stream_documents_parse():
+    """PDF 1.5 layout: catalog/pages/page dicts packed into a /ObjStm, only
+    the ObjStm and the content stream scannable at top level (what an
+    xref-stream PDF looks like to an object scanner)."""
+    import zlib as _z
+
+    from ai_service_ocr_grading_handler_spark.core import pdfx
+
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    ]
+    bodies = b""
+    pairs = []
+    for num, body in inner:
+        pairs.append(f"{num} {len(bodies)}")
+        bodies += body + b"\n"
+    header = (" ".join(pairs) + "\n").encode()
+    payload = _z.compress(header + bodies)
+    objstm = (
+        b"7 0 obj\n<< /Type /ObjStm /N 3 /First " + str(len(header)).encode()
+        + b" /Length " + str(len(payload)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + payload + b"\nendstream\nendobj\n"
+    )
+    content = (
+        b"4 0 obj\n<< /Length " + str(len(_FILTER_CONTENT)).encode() + b" >>\n"
+        b"stream\n" + _FILTER_CONTENT + b"\nendstream\nendobj\n"
+    )
+    pdf = b"%PDF-1.5\n" + objstm + content + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    assert pdfx.extract_text_boxes(pdf) == [
+        (0, 72.0, 700.0, 12.0, "filtered text", 792.0)
+    ]
+
+
+def test_new_filter_paths_fuzz_cleanly():
+    """Garbage into the new decoders raises the codec's typed errors —
+    never hangs, never escapes with an arbitrary exception."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ai_service_ocr_grading_handler_spark.core import pdfx
+
+    allowed = (ValueError, NotImplementedError)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=300))
+    def run(b):
+        for fn in (
+            pdfx._lzw_decode,
+            pdfx._ascii85_decode,
+            pdfx._asciihex_decode,
+            lambda d: pdfx._png_predictor(d, 1, 8, 5),
+            lambda d: pdfx._expand_object_streams(
+                {7: b"<< /Type /ObjStm /N 2 /First 8 >>\nstream\n" + d + b"\nendstream"}
+            ),
+        ):
+            try:
+                fn(b)
+            except allowed:
+                pass
+        # filtered-PDF wrapper path
+        try:
+            pdfx.extract_text_boxes(
+                _filtered_one_page_pdf(b, b"/Filter [/ASCII85Decode /LZWDecode]")
+            )
+        except allowed:
+            pass
+
+    run()
