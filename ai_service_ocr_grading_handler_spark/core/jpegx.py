@@ -1,0 +1,394 @@
+"""Pure-stdlib baseline JPEG (JFIF) decoder for the multimodal tier.
+
+Why this exists: the reference's image path decodes arbitrary image bytes
+(`cv2.imdecode`, /root/reference/engine/core/llm_number_prediction.py:39-55);
+this runtime has no image library, and after round 3 the PNG path already
+decodes for real (`core/pngx.py`) while JPEG — the other format that
+actually occurs in web corpora — was PIL-gated and never executed. This
+module closes that gap with a from-scratch baseline-sequential decoder:
+marker parse -> Huffman entropy decode (with byte stuffing and restart
+markers) -> dequantize -> 8x8 IDCT -> chroma upsample -> YCbCr->RGB.
+
+Scope (documented contract; ValueError for corrupt data,
+NotImplementedError beyond the contract):
+- baseline sequential DCT (SOF0), 8-bit precision, Huffman coding;
+- 1-component grayscale and 3-component YCbCr with any sampling factors
+  up to 4 (4:4:4, 4:2:2, 4:2:0 all covered by the generic h/v path);
+- restart intervals (DRI + RST0-7);
+- NOT: progressive (SOF2), extended sequential (SOF1) is accepted (same
+  entropy coding at 8-bit), arithmetic coding (SOF9+), hierarchical,
+  12-bit, 4-component CMYK/Adobe.
+
+Output convention matches `pngx.decode_png`: (width, height, "RGB",
+raw RGB24 bytes) — grayscale is replicated to RGB like PIL convert("RGB").
+Decoded pixels are verified in tests against an independent test-only
+ENCODER (forward DCT + Huffman) at near-lossless quantization, against a
+closed-form flat-field document, and against hand-built spec vectors for
+the Huffman tables.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+__all__ = ["is_jpeg", "decode_jpeg"]
+
+# raster index (row*8+col) for each zigzag position 0..63
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# separable IDCT basis: _COS[u][x] = c(u) * cos((2x+1) u pi / 16),
+# c(0)=1/sqrt(2), c(u>0)=1 — the full 2D transform divides by 4.
+_COS = [
+    [
+        (1.0 / math.sqrt(2.0) if u == 0 else 1.0)
+        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+# hard bound against decompression bombs, same policy as pngx._MAX_RAW_BYTES
+_MAX_PIXELS = 1 << 24  # 16M pixels -> 48 MB RGB
+
+
+def is_jpeg(data: bytes) -> bool:
+    return len(data) >= 3 and data[:3] == b"\xff\xd8\xff"
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table: (length, code) -> value."""
+
+    __slots__ = ("lookup", "max_len")
+
+    def __init__(self, bits: list[int], values: bytes):
+        if sum(bits) != len(values):
+            raise ValueError("DHT counts do not match value bytes")
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        self.max_len = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = values[k]
+                code += 1
+                k += 1
+            if bits[length - 1]:
+                self.max_len = length
+            # code == 2^length means the table saturated exactly at this
+            # length (legal for a complete code); MORE than that is overfull
+            if code > 1 << length:
+                raise ValueError("overfull Huffman table in DHT")
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over destuffed entropy segments; crossing a
+    restart boundary mid-symbol is a structural error."""
+
+    __slots__ = ("segments", "seg", "data", "pos", "bit")
+
+    def __init__(self, segments: list[bytes]):
+        self.segments = segments
+        self.seg = 0
+        self.data = segments[0] if segments else b""
+        self.pos = 0
+        self.bit = 0
+
+    def next_segment(self) -> None:
+        if self.seg + 1 >= len(self.segments):
+            raise ValueError("missing restart segment in scan data")
+        self.seg += 1
+        self.data = self.segments[self.seg]
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("entropy-coded data exhausted mid-symbol")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if length > table.max_len:
+                break
+            v = table.lookup.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid Huffman code in scan data")
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = self.read_bits(s)
+        if v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+        return v
+
+
+def _idct_block(coef: list[float]) -> list[int]:
+    """8x8 inverse DCT + level shift + clamp; coef in raster order."""
+    tmp = [0.0] * 64
+    for u in range(8):
+        row = coef[u * 8 : u * 8 + 8]
+        if not any(row):
+            continue
+        cos = _COS
+        for y in range(8):
+            s = 0.0
+            for v in range(8):
+                cv = row[v]
+                if cv:
+                    s += cos[v][y] * cv
+            tmp[u * 8 + y] = s
+    out = [0] * 64
+    for x in range(8):
+        colcos = [_COS[u][x] for u in range(8)]
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                t = tmp[u * 8 + y]
+                if t:
+                    s += colcos[u] * t
+            p = int(round(s / 4.0)) + 128
+            out[x * 8 + y] = 0 if p < 0 else 255 if p > 255 else p
+    return out
+
+
+def _split_scan(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Destuff entropy-coded bytes from `start`, splitting at RST markers;
+    returns (segments, index of the terminating marker's 0xFF)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        nxt = data[i + 1]
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # real marker: end of scan
+            break
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
+    """JPEG bytes -> (width, height, "RGB", raw RGB24 bytes)."""
+    data = bytes(data)
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, list[int]] = {}  # id -> 64 values in zigzag order
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    restart_interval = 0
+    frame = None  # (width, height, [(comp_id, h, v, tq)])
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise ValueError(f"expected marker at byte {i}")
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            i += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", data, i + 2)
+        if seg_len < 2 or i + 2 + seg_len > n:
+            raise ValueError("truncated JPEG segment")
+        body = data[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                j += 1
+                if pq == 0:
+                    vals = list(body[j : j + 64])
+                    j += 64
+                elif pq == 1:
+                    vals = list(struct.unpack_from(">64H", body, j))
+                    j += 128
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
+                if len(vals) < 64:
+                    raise ValueError("truncated DQT")
+                qt[tq] = vals
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j + 17 <= len(body):
+                tc, th = body[j] >> 4, body[j] & 15
+                bits = list(body[j + 1 : j + 17])
+                j += 17
+                nvals = sum(bits)
+                table = _HuffTable(bits, bytes(body[j : j + nvals]))
+                j += nvals
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG unsupported")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG unsupported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq_id = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                h, v = hv >> 4, hv & 15
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError(f"bad sampling factors {h}x{v}")
+                comps.append((cid, h, v, tq_id))
+            if width == 0 or height == 0:
+                raise ValueError("zero-sized JPEG frame")
+            if width * height > _MAX_PIXELS:
+                raise ValueError("JPEG frame exceeds decode size bound")
+            frame = (width, height, comps)
+        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
+            if marker in (0xC2,):
+                raise NotImplementedError("progressive JPEG (SOF2) unsupported")
+            raise NotImplementedError(f"SOF marker 0x{marker:02X} unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            return _decode_scan(
+                data, i + 2 + seg_len, body, frame, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        # APPn/COM/others: skip
+        i += 2 + seg_len
+    raise ValueError("no scan data in JPEG")
+
+
+def _decode_scan(
+    data, scan_start, sos_body, frame, qt, huff_dc, huff_ac, restart_interval
+):
+    width, height, comps = frame
+    ns = sos_body[0]
+    if ns != len(comps):
+        raise NotImplementedError("multi-scan JPEG unsupported")
+    comp_tables = {}
+    for k in range(ns):
+        cs, tdta = sos_body[1 + 2 * k], sos_body[2 + 2 * k]
+        comp_tables[cs] = (tdta >> 4, tdta & 15)
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    planes = []  # per component: (plane bytearray, plane_w, h, v)
+    for cid, h, v, tq_id in comps:
+        pw, ph = mcus_x * h * 8, mcus_y * v * 8
+        planes.append((bytearray(pw * ph), pw, h, v))
+        if tq_id not in qt:
+            raise ValueError(f"missing quantization table {tq_id}")
+        if cid not in comp_tables:
+            raise ValueError(f"scan omits frame component {cid}")
+
+    segments, _end = _split_scan(data, scan_start)
+    reader = _BitReader(segments)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.next_segment()
+                preds = [0] * len(comps)
+            for ci, (cid, h, v, tq_id) in enumerate(comps):
+                dc_id, ac_id = comp_tables[cid]
+                if dc_id not in huff_dc or ac_id not in huff_ac:
+                    raise ValueError("scan references missing Huffman table")
+                dct, act = huff_dc[dc_id], huff_ac[ac_id]
+                q = qt[tq_id]
+                plane, pw, _, _ = planes[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        coef = [0.0] * 64
+                        t = reader.decode_huff(dct)
+                        if t > 11:
+                            raise ValueError(f"bad DC category {t}")
+                        preds[ci] += reader.receive_extend(t)
+                        coef[0] = preds[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huff(act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC coefficient index overrun")
+                            coef[ZIGZAG[k]] = reader.receive_extend(s) * q[k]
+                            k += 1
+                        pix = _idct_block(coef)
+                        x0 = (mx * h + bx) * 8
+                        y0 = (my * v + by) * 8
+                        for row in range(8):
+                            off = (y0 + row) * pw + x0
+                            plane[off : off + 8] = bytes(
+                                pix[row * 8 : row * 8 + 8]
+                            )
+            mcu_count += 1
+
+    if len(comps) == 1:
+        plane, pw, _, _ = planes[0]
+        rgb = bytearray(width * height * 3)
+        for y in range(height):
+            base = y * pw
+            o = y * width * 3
+            for x in range(width):
+                g = plane[base + x]
+                rgb[o : o + 3] = bytes((g, g, g))
+                o += 3
+        return width, height, "RGB", bytes(rgb)
+
+    rgb = bytearray(width * height * 3)
+    (py, pwy, hy, vy), (pcb, pwcb, hcb, vcb), (pcr, pwcr, hcr, vcr) = planes
+    o = 0
+    for y in range(height):
+        ry = y * pwy
+        rcb = (y * vcb // vmax) * pwcb
+        rcr = (y * vcr // vmax) * pwcr
+        for x in range(width):
+            Y = py[ry + x * hy // hmax] if hy != hmax else py[ry + x]
+            cb = pcb[rcb + x * hcb // hmax] - 128
+            cr = pcr[rcr + x * hcr // hmax] - 128
+            r = int(round(Y + 1.402 * cr))
+            g = int(round(Y - 0.344136 * cb - 0.714136 * cr))
+            b = int(round(Y + 1.772 * cb))
+            rgb[o] = 0 if r < 0 else 255 if r > 255 else r
+            rgb[o + 1] = 0 if g < 0 else 255 if g > 255 else g
+            rgb[o + 2] = 0 if b < 0 else 255 if b > 255 else b
+            o += 3
+    return width, height, "RGB", bytes(rgb)

@@ -68,21 +68,26 @@ def decode_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     Codec resolution order:
     1. PIL when importable (full format coverage);
     2. the pure-stdlib PNG decoder (`core.pngx`) for PNG payloads — zlib
-       IDAT inflate + scanline unfiltering, so this branch runs FOR REAL
-       even in runtimes with no image library (this sandbox);
+       IDAT inflate + scanline unfiltering — and the pure-stdlib baseline
+       JPEG decoder (`core.jpegx`) for JPEG payloads — Huffman + IDCT +
+       chroma upsample — so BOTH web-corpus formats decode FOR REAL even
+       in runtimes with no image library (this sandbox);
     3. otherwise NotImplementedError so callers can gate the pixel branch
-       (non-PNG formats genuinely need a codec library).
+       (other formats genuinely need a codec library).
     The Spark-side plumbing (binary column in, typed columns out) is
-    identical on every branch. tests/test_multimodal.py covers all three."""
+    identical on every branch. tests/test_multimodal.py +
+    tests/test_jpegx.py cover all branches."""
     try:
         import PIL.Image
     except ImportError:
-        from ai_service_ocr_grading_handler_spark.core import pngx
+        from ai_service_ocr_grading_handler_spark.core import jpegx, pngx
 
         if pngx.is_png(payload):
             return pngx.decode_png(payload)
+        if jpegx.is_jpeg(payload):
+            return jpegx.decode_jpeg(payload)
         raise NotImplementedError(
-            "pixel decode for non-PNG formats requires an image codec "
+            "pixel decode beyond PNG/baseline-JPEG requires an image codec "
             "library (PIL/cv2), not available in this runtime"
         )
     import io

@@ -1,0 +1,341 @@
+"""Baseline JPEG decoder (core/jpegx.py) correctness.
+
+The decoder is verified against an INDEPENDENT test-only encoder written
+here (forward DCT + quantize + Huffman, the opposite transform direction —
+a shared misunderstanding would have to cancel exactly), plus closed-form
+flat-field documents and typed-error/fuzz contracts.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+
+from ai_service_ocr_grading_handler_spark.core import jpegx
+
+# --- tiny test-only encoder ---------------------------------------------------
+
+_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16.0) for x in range(8)] for u in range(8)
+]
+_C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+
+
+def _fdct(block):  # block: 64 ints (raster), level-shifted inside
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (block[x * 8 + y] - 128) * _COS[u][x] * _COS[v][y]
+            out[u * 8 + v] = 0.25 * _C[u] * _C[v] * s
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        while self.nbits:
+            self.write(1, 1)  # pad with 1s per spec
+
+
+# fixed-length canonical tables (valid JPEG DHT payloads): 12 DC categories
+# as 4-bit codes, all 256 run/size bytes as... 256 would overflow 8 bits, so
+# emit only the 162 standard AC symbols actually produced by the encoder.
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = bytes(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_BITS = [0] * 16
+_AC_BITS[7] = len(_AC_SYMBOLS)  # all codes length 8
+_AC_VALS = bytes(_AC_SYMBOLS)
+_DC_CODE = {v: (i, 4) for i, v in enumerate(_DC_VALS)}
+_AC_CODE = {v: (i, 8) for i, v in enumerate(_AC_VALS)}
+
+
+def _cat(v):
+    return abs(v).bit_length()
+
+
+def _encode_block(w, coef_q, pred):
+    dc = coef_q[0]
+    diff = dc - pred
+    t = _cat(diff)
+    code, ln = _DC_CODE[t]
+    w.write(code, ln)
+    if t:
+        w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if coef_q[jpegx.ZIGZAG[k]]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        v = coef_q[jpegx.ZIGZAG[k]]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = _AC_CODE[0xF0]
+            w.write(code, ln)
+            run -= 16
+        s = _cat(v)
+        code, ln = _AC_CODE[(run << 4) | s]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = _AC_CODE[0x00]
+        w.write(code, ln)
+    return dc
+
+
+def _plane_blocks(plane, pw, ph, x0, y0):
+    """8x8 raster block at (x0, y0), edge-replicated."""
+    return [
+        plane[min(y0 + r, ph - 1) * pw + min(x0 + c, pw - 1)]
+        for r in range(8)
+        for c in range(8)
+    ]
+
+
+def encode_jpeg(width, height, planes, sampling, restart=0):
+    """planes: list of (plane_bytes, pw, ph) in Y[,Cb,Cr]; sampling: list of
+    (h, v) per component. Quant table = all ones (near-lossless)."""
+    ncomp = len(planes)
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci, (h, v) in enumerate(sampling):
+        sof += struct.pack(">BBB", ci + 1, (h << 4) | v, 0)
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, (bits, vals) in ((0, (_DC_BITS, _DC_VALS)), (1, (_AC_BITS, _AC_VALS))):
+        body = bytes([tc << 4]) + bytes(bits) + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    w = _BitWriter()
+    preds = [0] * ncomp
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_count and mcu_count % restart == 0:
+                w.flush()
+                out += w.out
+                w = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * ncomp
+            for ci, ((plane, pw, ph), (h, v)) in enumerate(zip(planes, sampling)):
+                for by in range(v):
+                    for bx in range(h):
+                        block = _plane_blocks(
+                            plane, pw, ph, (mx * h + bx) * 8, (my * v + by) * 8
+                        )
+                        coef = [int(round(c)) for c in _fdct(block)]
+                        preds[ci] = _encode_block(w, coef, preds[ci])
+            mcu_count += 1
+    w.flush()
+    out += w.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def _rgb_to_ycbcr(rgb, width, height):
+    y = bytearray(width * height)
+    cb = bytearray(width * height)
+    cr = bytearray(width * height)
+    for i in range(width * height):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        y[i] = min(255, max(0, round(0.299 * r + 0.587 * g + 0.114 * b)))
+        cb[i] = min(255, max(0, round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)))
+        cr[i] = min(255, max(0, round(0.5 * r - 0.418688 * g - 0.081312 * b + 128)))
+    return y, cb, cr
+
+
+def _subsample(plane, width, height):
+    """2x2 average downsample (edge-replicating odd sizes)."""
+    w2, h2 = -(-width // 2), -(-height // 2)
+    out = bytearray(w2 * h2)
+    for yy in range(h2):
+        for xx in range(w2):
+            vals = [
+                plane[min(2 * yy + dy, height - 1) * width + min(2 * xx + dx, width - 1)]
+                for dy in (0, 1)
+                for dx in (0, 1)
+            ]
+            out[yy * w2 + xx] = sum(vals) // 4
+    return out, w2, h2
+
+
+def _gradient_rgb(width, height):
+    rgb = bytearray()
+    for y in range(height):
+        for x in range(width):
+            rgb += bytes((
+                (x * 7 + y * 3) % 256 // 2 + 40,
+                (x * 2 + y * 11) % 256 // 2 + 60,
+                (x * 5 + y * 5) % 256 // 2 + 20,
+            ))
+    return bytes(rgb)
+
+
+# --- tests --------------------------------------------------------------------
+
+
+def test_flat_gray_closed_form():
+    """A flat 8x8 grayscale field decodes to exactly itself: only the DC
+    coefficient is nonzero and IDCT of a DC-only block is constant."""
+    for val in (0, 128, 200, 255):
+        plane = bytes([val] * 64)
+        data = encode_jpeg(8, 8, [(plane, 8, 8)], [(1, 1)])
+        w, h, mode, rgb = jpegx.decode_jpeg(data)
+        assert (w, h, mode) == (8, 8, "RGB")
+        assert max(abs(p - val) for p in rgb) <= 1
+
+
+def test_grayscale_roundtrip_near_lossless():
+    """Structured 24x16 grayscale at quant=1 round-trips within +/-2
+    through the independent encoder (fDCT) and the decoder (iDCT)."""
+    width, height = 24, 16
+    plane = bytes(
+        ((x * 13 + y * 29) % 211 + (x * y) % 37) % 256
+        for y in range(height)
+        for x in range(width)
+    )
+    data = encode_jpeg(width, height, [(plane, width, height)], [(1, 1)])
+    w, h, mode, rgb = jpegx.decode_jpeg(data)
+    assert (w, h) == (width, height)
+    for i in range(width * height):
+        g = rgb[3 * i]
+        assert rgb[3 * i + 1] == g and rgb[3 * i + 2] == g
+        assert abs(g - plane[i]) <= 2, (i, g, plane[i])
+
+
+def test_color_444_roundtrip():
+    width, height = 16, 16
+    rgb_in = _gradient_rgb(width, height)
+    y, cb, cr = _rgb_to_ycbcr(rgb_in, width, height)
+    data = encode_jpeg(
+        width, height,
+        [(y, width, height), (cb, width, height), (cr, width, height)],
+        [(1, 1), (1, 1), (1, 1)],
+    )
+    w, h, mode, rgb = jpegx.decode_jpeg(data)
+    assert (w, h, mode) == (16, 16, "RGB")
+    worst = max(abs(a - b) for a, b in zip(rgb, rgb_in))
+    assert worst <= 4, worst
+
+
+def test_color_420_subsampled_flat():
+    """4:2:0: a flat color field survives chroma subsampling exactly (the
+    generic h/v MCU path, 4 luma blocks + 1 of each chroma per MCU)."""
+    width, height = 32, 16
+    rgb_in = bytes((180, 90, 40)) * (width * height)
+    y, cb, cr = _rgb_to_ycbcr(rgb_in, width, height)
+    cb2, cw, ch = _subsample(cb, width, height)
+    cr2, _, _ = _subsample(cr, width, height)
+    data = encode_jpeg(
+        width, height,
+        [(y, width, height), (cb2, cw, ch), (cr2, cw, ch)],
+        [(2, 2), (1, 1), (1, 1)],
+    )
+    w, h, _, rgb = jpegx.decode_jpeg(data)
+    assert (w, h) == (width, height)
+    worst = max(abs(a - b) for a, b in zip(rgb, rgb_in))
+    assert worst <= 3, worst
+
+
+def test_odd_dimensions_edge_padding():
+    """Non-multiple-of-8 frames decode at the declared size (MCU padding
+    cropped)."""
+    width, height = 13, 11
+    plane = bytes((x * 17 + y * 23) % 256 for y in range(height) for x in range(width))
+    data = encode_jpeg(width, height, [(plane, width, height)], [(1, 1)])
+    w, h, _, rgb = jpegx.decode_jpeg(data)
+    assert (w, h) == (width, height) and len(rgb) == width * height * 3
+    for i in range(width * height):
+        assert abs(rgb[3 * i] - plane[i]) <= 2
+
+
+def test_restart_intervals_decode_identically():
+    width, height = 32, 8
+    plane = bytes((x * 31 + y * 7) % 256 for y in range(height) for x in range(width))
+    plain = encode_jpeg(width, height, [(plane, width, height)], [(1, 1)])
+    rst = encode_jpeg(width, height, [(plane, width, height)], [(1, 1)], restart=1)
+    assert b"\xff\xd0" in rst or b"\xff\xd1" in rst
+    assert jpegx.decode_jpeg(plain) == jpegx.decode_jpeg(rst)
+
+
+def test_progressive_and_garbage_are_typed():
+    width, height = 8, 8
+    plane = bytes(range(64))
+    good = encode_jpeg(width, height, [(plane, width, height)], [(1, 1)])
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        jpegx.decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        jpegx.decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError):
+        jpegx.decode_jpeg(good[:40])  # truncated mid-segment
+    assert jpegx.is_jpeg(good) and not jpegx.is_jpeg(b"\x89PNG")
+
+
+def test_jpeg_fuzz_fails_cleanly():
+    """Garbage and mutated-valid bytes raise typed errors or decode —
+    never hang or escape with arbitrary exceptions (same contract as the
+    PNG/PDF/WAV codecs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    plane = bytes(range(64))
+    good = encode_jpeg(8, 8, [(plane, 8, 8)], [(1, 1)])
+    allowed = (ValueError, NotImplementedError, struct.error)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=300), st.integers(0, len(good) - 1), st.integers(0, 255))
+    def run(b, pos, byte):
+        try:
+            jpegx.decode_jpeg(b)
+        except allowed:
+            pass
+        try:
+            jpegx.decode_jpeg(b"\xff\xd8\xff" + b)
+        except allowed:
+            pass
+        mutated = good[:pos] + bytes([byte]) + good[pos + 1 :]
+        try:
+            jpegx.decode_jpeg(mutated)
+        except allowed:
+            pass
+
+    run()

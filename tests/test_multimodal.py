@@ -31,9 +31,20 @@ def _has_pil() -> bool:
 
 @pytest.mark.skipif(_has_pil(), reason="PIL present: real-decode branch applies")
 def test_decode_pixels_guards_on_non_png_without_codec():
-    # non-PNG payloads still need a codec library; PNG no longer does
+    # payloads beyond PNG/JPEG still need a codec library
     with pytest.raises(NotImplementedError):
         mm.decode_pixels(b"\x00" * 16)
+
+
+def test_decode_pixels_jpeg_runs_for_real():
+    """JPEG decodes in every runtime now (stdlib baseline decoder) — the
+    last media format whose decode had never executed here (round-3 ask)."""
+    from tests.test_jpegx import encode_jpeg
+
+    flat = bytes([200] * 64)
+    w, h, mode, rgb = mm.decode_pixels(encode_jpeg(8, 8, [(flat, 8, 8)], [(1, 1)]))
+    assert (w, h, mode) == (8, 8, "RGB")
+    assert max(abs(p - 200) for p in rgb) <= 1
 
 
 def test_decode_pixels_png_runs_for_real():
@@ -258,20 +269,23 @@ def test_codec_fuzz_fails_cleanly():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    from ai_service_ocr_grading_handler_spark.core import pdfx, pngx
+    from ai_service_ocr_grading_handler_spark.core import jpegx, pdfx, pngx
 
     allowed = (ValueError, NotImplementedError, _z.error, _st.error)
 
     @settings(max_examples=150, deadline=None)
     @given(st.binary(max_size=400))
     def run(b):
-        for fn in (pngx.decode_png, pdfx.extract_text_boxes, mm.wav_features):
+        for fn in (
+            pngx.decode_png, pdfx.extract_text_boxes, mm.wav_features,
+            jpegx.decode_jpeg,
+        ):
             try:
                 fn(b)
             except allowed:
                 pass
         # prefix-poisoned variants exercise the post-signature paths
-        for prefix in (pngx._SIG, b"%PDF-1.4\n", b"RIFF"):
+        for prefix in (pngx._SIG, b"%PDF-1.4\n", b"RIFF", b"\xff\xd8\xff"):
             try:
                 mm.wav_features(prefix + b)
             except allowed:
@@ -282,6 +296,10 @@ def test_codec_fuzz_fails_cleanly():
                 pass
             try:
                 pdfx.extract_text_boxes(prefix + b)
+            except allowed:
+                pass
+            try:
+                jpegx.decode_jpeg(prefix + b)
             except allowed:
                 pass
 
