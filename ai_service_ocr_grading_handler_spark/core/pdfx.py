@@ -17,10 +17,10 @@ Scope (documented contract, ValueError/NotImplementedError beyond it):
   are found by scanning); objects packed into object streams (/ObjStm,
   the other PDF 1.5 compression) are unpacked via `_expand_object_streams`;
 - stream filters: FlateDecode, LZWDecode (9->12-bit PDF variant with
-  /EarlyChange), ASCIIHexDecode, ASCII85Decode — as a /Filter CHAIN with
-  per-filter /DecodeParms, including PNG predictors 10-15 (/Predictor,
-  /Columns, /Colors, /BitsPerComponent) on Flate/LZW output. Crypt and
-  image-only filters (DCT/JBIG2/JPX/CCITT/RunLength) raise
+  /EarlyChange), ASCIIHexDecode, ASCII85Decode, RunLengthDecode — as a
+  /Filter CHAIN with per-filter /DecodeParms, including PNG predictors
+  10-15 (/Predictor, /Columns, /Colors, /BitsPerComponent) on Flate/LZW
+  output. Crypt and image-only filters (DCT/JBIG2/JPX/CCITT) raise
   NotImplementedError;
 - literal `(...)` strings with escapes and hex `<...>` strings, Latin-1
   bytes (no CMap/TrueType cmap decoding — fixture-grade text);
@@ -141,6 +141,30 @@ def _ascii85_decode(data: bytes) -> bytes:
         return base64.a85decode(b"<~" + data + b"~>", adobe=True)
     except ValueError as e:
         raise ValueError(f"corrupt ASCII85Decode stream: {e}") from e
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """PDF RunLengthDecode: length byte n<128 -> copy n+1 literals;
+    n>128 -> repeat next byte 257-n times; n==128 -> EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ln = data[i]
+        if ln == 128:
+            return bytes(out)
+        if ln < 128:
+            end = i + 1 + ln + 1
+            if end > n:
+                raise ValueError("truncated RunLengthDecode literal run")
+            out += data[i + 1 : end]
+            i = end
+        else:
+            if i + 1 >= n:
+                raise ValueError("truncated RunLengthDecode repeat run")
+            out += data[i + 1 : i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
 
 
 def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
@@ -265,6 +289,8 @@ def decode_stream(body: bytes, data: bytes) -> bytes:
             data = _asciihex_decode(data)
         elif name == b"ASCII85Decode" or name == b"A85":
             data = _ascii85_decode(data)
+        elif name == b"RunLengthDecode" or name == b"RL":
+            data = _runlength_decode(data)
         else:
             raise NotImplementedError(f"PDF filter {name.decode()} unsupported")
         pred = parm.get("Predictor", 1)

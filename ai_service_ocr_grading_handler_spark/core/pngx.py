@@ -9,11 +9,13 @@ stream and the per-scanline filters (None/Sub/Up/Average/Paeth) are
 arithmetic over the previous row/pixel. This module implements exactly
 that (PNG spec, RFC 2083), so the capability probe runs FOR REAL here.
 
-Scope: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
-4 (gray+alpha), 6 (RGBA), non-interlaced — the overwhelming web majority.
-16-bit and Adam7 interlacing raise NotImplementedError (the caller's
-codec-gate contract). Output is raw RGB24, alpha dropped (matching
-PIL's ``convert("RGB")`` channel-drop semantics for RGBA input).
+Scope: 8- and 16-bit depth (16-bit samples keep their high byte, PIL
+convert-style), color types 0 (gray), 2 (RGB), 3 (palette), 4
+(gray+alpha), 6 (RGBA), non-interlaced AND Adam7-interlaced (seven
+sub-images unfiltered independently, pixels scattered to the grid).
+Bit depths 1/2/4 raise NotImplementedError (the caller's codec-gate
+contract). Output is raw RGB24, alpha dropped (matching PIL's
+``convert("RGB")`` channel-drop semantics for RGBA input).
 
 Performance note: unfiltering is per-byte Python — fine for the kernel's
 capability-probe position and tests; a production pixel pipeline would
@@ -48,6 +50,51 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Adam7 pass layout: (x_start, y_start, x_step, y_step) — PNG spec 8.5.2;
+# the seven passes tile the pixel grid exactly once (tested by decoding a
+# hand-interlaced image back to its row-major original)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter_image(raw: bytes, off: int, w: int, h: int, bpp: int):
+    """Unfilter one (sub-)image of w x h pixels at `bpp` bytes/pixel
+    starting at `raw[off]`; returns (sample bytes, next offset)."""
+    stride = w * bpp
+    out = bytearray(stride * h)
+    prev_start = -1
+    for y in range(h):
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        off += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            if prev_start >= 0:
+                for i in range(stride):
+                    line[i] = (line[i] + out[prev_start + i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                up = out[prev_start + i] if prev_start >= 0 else 0
+                line[i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                up = out[prev_start + i] if prev_start >= 0 else 0
+                ul = out[prev_start + i - bpp] if (prev_start >= 0 and i >= bpp) else 0
+                line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        start = y * stride
+        out[start : start + stride] = line
+        prev_start = start
+    return out, off
+
+
 def decode_png(data: bytes) -> tuple[int, int, str, bytes]:
     """PNG bytes -> (width, height, "RGB", raw RGB24 bytes)."""
     data = bytes(data)
@@ -76,15 +123,30 @@ def decode_png(data: bytes) -> tuple[int, int, str, bytes]:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8:
-        raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8 supported)")
-    if interlace != 0:
-        raise NotImplementedError("interlaced PNG not supported")
+    if bit_depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {bit_depth} (8/16 supported)")
+    if bit_depth == 16 and color_type == 3:
+        raise ValueError("16-bit palette PNG is not a legal combination")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if color_type not in _CHANNELS:
         raise NotImplementedError(f"PNG color type {color_type}")
     ch = _CHANNELS[color_type]
+    sample_bytes = bit_depth // 8
+    bpp = ch * sample_bytes
     stride = width * ch
-    expected = (stride + 1) * height
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, width, height)]
+    else:
+        passes = [
+            (
+                x0, y0, dx, dy,
+                (width - x0 + dx - 1) // dx if width > x0 else 0,
+                (height - y0 + dy - 1) // dy if height > y0 else 0,
+            )
+            for x0, y0, dx, dy in _ADAM7
+        ]
+    expected = sum((pw * bpp + 1) * ph for _, _, _, _, pw, ph in passes if pw and ph)
     # decompression-bomb guard (review finding): the expected raw size is
     # known from IHDR before inflating — refuse absurd dimensions, and cap
     # the inflater at expected bytes so a crafted IDAT can never allocate
@@ -107,36 +169,27 @@ def decode_png(data: bytes) -> tuple[int, int, str, bytes]:
         # file (review finding)
         raise ValueError("PNG IDAT truncated (deflate stream not terminated)")
 
-    # unfilter scanlines in place
-    out = bytearray(stride * height)
-    prev_start = -1
-    for y in range(height):
-        rpos = y * (stride + 1)
-        ftype = raw[rpos]
-        line = bytearray(raw[rpos + 1 : rpos + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif ftype == 2:  # Up
-            if prev_start >= 0:
-                for i in range(stride):
-                    line[i] = (line[i] + out[prev_start + i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                up = out[prev_start + i] if prev_start >= 0 else 0
-                line[i] = (line[i] + ((left + up) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                up = out[prev_start + i] if prev_start >= 0 else 0
-                ul = out[prev_start + i - ch] if (prev_start >= 0 and i >= ch) else 0
-                line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        start = y * stride
-        out[start : start + stride] = line
-        prev_start = start
+    # unfilter, then reduce to 8-bit samples in image order
+    if interlace == 0 and sample_bytes == 1:
+        # fast path: the unfiltered buffer IS the sample grid
+        out, _ = _unfilter_image(raw, 0, width, height, bpp)
+    else:
+        out = bytearray(stride * height)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            if not pw or not ph:
+                continue
+            sub, off = _unfilter_image(raw, off, pw, ph, bpp)
+            # scatter sub-image pixels into the full grid, keeping the
+            # high byte of each (big-endian) sample — PIL convert style
+            for py in range(ph):
+                srow = py * pw * bpp
+                drow = (y0 + py * dy) * stride
+                for px in range(pw):
+                    s = srow + px * bpp
+                    d = drow + (x0 + px * dx) * ch
+                    for c in range(ch):
+                        out[d + c] = sub[s + c * sample_bytes]
 
     # channel conversion -> RGB24 (alpha dropped, PIL convert("RGB") style)
     if color_type == 2:

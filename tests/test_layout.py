@@ -338,6 +338,27 @@ def test_asciihex_ascii85_and_chained_filters():
     assert pdfx.extract_text_boxes(chain_pdf) == expect
 
 
+def test_runlength_decode():
+    from ai_service_ocr_grading_handler_spark.core import pdfx
+
+    # literal run + repeat run + EOD
+    assert pdfx._runlength_decode(b"\x02abc\xfeZ\x80tail") == b"abcZZZ"
+    with pytest.raises(ValueError):
+        pdfx._runlength_decode(b"\x05ab")  # truncated literal
+    with pytest.raises(ValueError):
+        pdfx._runlength_decode(b"\xfe")  # truncated repeat
+    # end-to-end through a content stream
+    content = _FILTER_CONTENT
+    rle = bytearray()
+    for i in range(0, len(content), 100):
+        chunk_ = content[i : i + 100]
+        rle.append(len(chunk_) - 1)
+        rle += chunk_
+    rle.append(128)
+    pdf = _filtered_one_page_pdf(bytes(rle), b"/Filter /RunLengthDecode")
+    assert [b[4] for b in pdfx.extract_text_boxes(pdf)] == ["filtered text"]
+
+
 def test_flate_with_png_up_predictor():
     """A Flate stream with /Predictor 12 (PNG Up) and /Columns reconstructs
     — the encoding every xref stream in the wild uses."""

@@ -101,8 +101,13 @@ def test_png_codec_filters_and_color_types():
     plte = bytes((9, 8, 7)) + bytes((1, 2, 3))
     pal = make(3, 1, [b"\x00\x00\x01\x00"] * 2, plte=plte)
     assert pngx.decode_png(pal)[3] == bytes((9, 8, 7, 1, 2, 3, 9, 8, 7)) * 2
-    # 16-bit depth refuses cleanly
-    bad = pngx._SIG + chunk(b"IHDR", _st.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)) + chunk(b"IDAT", _z.compress(b"\x00" * 7)) + chunk(b"IEND", b"")
+    # 16-bit depth decodes since r4 (high byte kept, PIL convert style):
+    # 1x1 RGB16 pixel 0x1234 0xABCD 0x00FF -> (0x12, 0xAB, 0x00)
+    px16 = b"\x00" + bytes.fromhex("1234ABCD00FF")
+    deep = pngx._SIG + chunk(b"IHDR", _st.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)) + chunk(b"IDAT", _z.compress(px16)) + chunk(b"IEND", b"")
+    assert pngx.decode_png(deep) == (1, 1, "RGB", bytes((0x12, 0xAB, 0x00)))
+    # sub-byte depths still refuse cleanly
+    bad = pngx._SIG + chunk(b"IHDR", _st.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)) + chunk(b"IDAT", _z.compress(b"\x00\x00")) + chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         pngx.decode_png(bad)
 
@@ -383,3 +388,53 @@ def test_native_synthesis_equals_pack_media(spark):
     for r in mm.media_df(spark, SF).collect():
         kind, blob = mm.pack_media(r.doc_id, docs[r.doc_id])
         assert (r.kind, bytes(r.media)) == (kind, blob)
+
+
+def test_png_adam7_interlace_decodes():
+    """A hand-interlaced Adam7 PNG decodes to exactly the same pixels as
+    the straight row-major encoding of the same image; 16-bit Adam7 also
+    exercises the high-byte reduction on the scatter path."""
+    import struct as _st
+    import zlib as _z
+
+    from ai_service_ocr_grading_handler_spark.core import pngx
+
+    def chunk(ctype, body):
+        return _st.pack(">I", len(body)) + ctype + body + _st.pack(
+            ">I", _z.crc32(ctype + body) & 0xFFFFFFFF
+        )
+
+    w, h = 9, 6  # non-multiples of 8: several passes are ragged/empty-edge
+    rgb = bytes(
+        (x * 29 + y * 53 + c * 17) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+
+    def interlaced_idat(sample_bytes):
+        body = bytearray()
+        for x0, y0, dx, dy in pngx._ADAM7:
+            xs = list(range(x0, w, dx))
+            ys = list(range(y0, h, dy))
+            if not xs or not ys:
+                continue
+            for yy in ys:
+                body.append(0)  # filter None
+                for xx in xs:
+                    for c in range(3):
+                        v = rgb[(yy * w + xx) * 3 + c]
+                        body.append(v)
+                        if sample_bytes == 2:
+                            body.append(0x42)  # low byte, dropped on decode
+        return bytes(body)
+
+    for depth in (8, 16):
+        ihdr = _st.pack(">IIBBBBB", w, h, depth, 2, 0, 0, 1)  # interlace=1
+        png = (
+            pngx._SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(interlaced_idat(depth // 8)))
+            + chunk(b"IEND", b"")
+        )
+        assert pngx.decode_png(png) == (w, h, "RGB", rgb), f"depth {depth}"
