@@ -236,6 +236,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
                     vals = list(body[j : j + 64])
                     j += 64
                 elif pq == 1:
+                    if j + 128 > len(body):
+                        raise ValueError("truncated 16-bit DQT")
                     vals = list(struct.unpack_from(">64H", body, j))
                     j += 128
                 else:
@@ -254,7 +256,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
                 j += nvals
                 (huff_dc if tc == 0 else huff_ac)[th] = table
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            if len(body) < 6:
+                raise ValueError("truncated SOF segment")
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF component specs")
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
             if ncomp not in (1, 3):
@@ -276,6 +282,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
                 raise NotImplementedError("progressive JPEG (SOF2) unsupported")
             raise NotImplementedError(f"SOF marker 0x{marker:02X} unsupported")
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -293,7 +301,12 @@ def _decode_scan(
     data, scan_start, sos_body, frame, qt, huff_dc, huff_ac, restart_interval
 ):
     width, height, comps = frame
+    if not sos_body:
+        raise ValueError("empty SOS segment")
     ns = sos_body[0]
+    # ns component specs (2 bytes each) + Ss/Se/AhAl trailer
+    if len(sos_body) < 1 + 2 * ns + 3:
+        raise ValueError("truncated SOS segment")
     if ns != len(comps):
         raise NotImplementedError("multi-scan JPEG unsupported")
     comp_tables = {}
@@ -377,7 +390,11 @@ def _decode_scan(
     (py, pwy, hy, vy), (pcb, pwcb, hcb, vcb), (pcr, pwcr, hcr, vcr) = planes
     o = 0
     for y in range(height):
-        ry = y * pwy
+        # EVERY plane's row scales by its v-ratio — including luma: a legal
+        # frame may sample Y below vmax (e.g. Y 1x1, chroma 2x2), and an
+        # unscaled row index would run off the half-height Y plane
+        # (review finding)
+        ry = (y * vy // vmax) * pwy
         rcb = (y * vcb // vmax) * pwcb
         rcr = (y * vcr // vmax) * pwcr
         for x in range(width):

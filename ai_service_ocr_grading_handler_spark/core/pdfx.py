@@ -143,9 +143,31 @@ def _ascii85_decode(data: bytes) -> bytes:
         raise ValueError(f"corrupt ASCII85Decode stream: {e}") from e
 
 
+# Bomb guard for every expanding filter (LZW table growth is O(n²) in
+# input bytes; Flate can expand ~1000x) — same threat class and policy as
+# pngx._MAX_RAW_BYTES, which caps the inflater BEFORE allocation.
+_MAX_STREAM_BYTES = 1 << 26
+
+
+def _bounded_inflate(data: bytes) -> bytes:
+    d = zlib.decompressobj()
+    try:
+        out = d.decompress(data, _MAX_STREAM_BYTES + 1)
+    except zlib.error as e:
+        raise ValueError(f"corrupt FlateDecode stream: {e}") from e
+    if len(out) > _MAX_STREAM_BYTES:
+        raise ValueError(
+            f"FlateDecode output exceeds the {_MAX_STREAM_BYTES}-byte bound"
+        )
+    if not d.eof:
+        raise ValueError("FlateDecode stream truncated (not terminated)")
+    return out
+
+
 def _runlength_decode(data: bytes) -> bytes:
     """PDF RunLengthDecode: length byte n<128 -> copy n+1 literals;
-    n>128 -> repeat next byte 257-n times; n==128 -> EOD."""
+    n>128 -> repeat next byte 257-n times; n==128 -> EOD (mandatory —
+    running off the end without it is truncation, not success)."""
     out = bytearray()
     i = 0
     n = len(data)
@@ -164,7 +186,7 @@ def _runlength_decode(data: bytes) -> bytes:
                 raise ValueError("truncated RunLengthDecode repeat run")
             out += data[i + 1 : i + 2] * (257 - ln)
             i += 2
-    return bytes(out)
+    raise ValueError("RunLengthDecode stream missing EOD marker")
 
 
 def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
@@ -207,47 +229,32 @@ def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
                 width += 1
             out += entry
             prev = entry
+            if len(out) > _MAX_STREAM_BYTES:
+                raise ValueError(
+                    f"LZWDecode output exceeds the {_MAX_STREAM_BYTES}-byte"
+                    " bound (decompression bomb)"
+                )
     return bytes(out)
 
 
 def _png_predictor(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
     """Reverse PNG row predictors 10-15 (each row: one filter byte + raw
-    row). Xref streams almost always use /Predictor 12 (Up)."""
+    row; xref streams almost always use /Predictor 12, Up). Delegates to
+    pngx._unfilter_image so ONE implementation of Sub/Up/Average/Paeth
+    exists in the repo (review finding: this was a third copy of Paeth)."""
+    from ai_service_ocr_grading_handler_spark.core.pngx import _unfilter_image
+
     bpp = max(1, (colors * bpc + 7) // 8)
     rowlen = (columns * colors * bpc + 7) // 8
     if rowlen <= 0:
         raise ValueError("PNG predictor with non-positive row length")
     if len(data) % (rowlen + 1):
         raise ValueError("PNG-predicted stream is not a whole number of rows")
-    out = bytearray()
-    prev = bytearray(rowlen)
-    for i in range(0, len(data), rowlen + 1):
-        ft = data[i]
-        row = bytearray(data[i + 1 : i + 1 + rowlen])
-        if ft == 0:
-            pass
-        elif ft == 1:  # Sub
-            for j in range(bpp, rowlen):
-                row[j] = (row[j] + row[j - bpp]) & 0xFF
-        elif ft == 2:  # Up
-            for j in range(rowlen):
-                row[j] = (row[j] + prev[j]) & 0xFF
-        elif ft == 3:  # Average
-            for j in range(rowlen):
-                left = row[j - bpp] if j >= bpp else 0
-                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for j in range(rowlen):
-                a = row[j - bpp] if j >= bpp else 0
-                b = prev[j]
-                c = prev[j - bpp] if j >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                row[j] = (row[j] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG predictor filter byte {ft}")
-        out += row
-        prev = row
+    if rowlen % bpp:
+        raise NotImplementedError(
+            "PNG predictor over sub-byte-packed rows unsupported"
+        )
+    out, _ = _unfilter_image(data, 0, rowlen // bpp, len(data) // (rowlen + 1), bpp)
     return bytes(out)
 
 
@@ -274,15 +281,19 @@ def decode_stream(body: bytes, data: bytes) -> bytes:
     raw stream bytes. Raw (no /Filter) streams pass through."""
     m = _FILTER_RE.search(body)
     if not m:
+        if re.search(rb"/Filter\b", body):
+            # e.g. an indirect reference `/Filter 5 0 R` — refusing keeps
+            # the typed-error contract; silently returning raw bytes here
+            # would feed compressed garbage to the interpreter (review
+            # finding: the old any-/Filter NotImplementedError was lost in
+            # the filter-chain rewrite)
+            raise NotImplementedError("unresolvable /Filter entry (indirect?)")
         return data
     names = re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
     parms = _decode_parms(body, len(names))
     for name, parm in zip(names, parms):
         if name == b"FlateDecode" or name == b"Fl":
-            try:
-                data = zlib.decompress(data)
-            except zlib.error as e:
-                raise ValueError(f"corrupt FlateDecode stream: {e}") from e
+            data = _bounded_inflate(data)
         elif name == b"LZWDecode" or name == b"LZW":
             data = _lzw_decode(data, parm.get("EarlyChange", 1))
         elif name == b"ASCIIHexDecode" or name == b"AHx":

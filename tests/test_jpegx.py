@@ -319,7 +319,10 @@ def test_jpeg_fuzz_fails_cleanly():
 
     plane = bytes(range(64))
     good = encode_jpeg(8, 8, [(plane, 8, 8)], [(1, 1)])
-    allowed = (ValueError, NotImplementedError, struct.error)
+    # struct.error deliberately NOT allowed: the module contract is
+    # ValueError/NotImplementedError only (review finding: the old
+    # allowlist encoded the contract violation instead of fixing it)
+    allowed = (ValueError, NotImplementedError)
 
     @settings(max_examples=150, deadline=None)
     @given(st.binary(max_size=300), st.integers(0, len(good) - 1), st.integers(0, 255))
@@ -339,3 +342,39 @@ def test_jpeg_fuzz_fails_cleanly():
             pass
 
     run()
+
+
+def test_luma_subsampled_below_chroma():
+    """Legal but unusual: Y sampled 1x1 while chroma is 2x2 (luma BELOW
+    vmax/hmax) — every plane's row AND column index must scale by its own
+    ratio (review finding: the Y row index was never scaled, so y >= h/2
+    crashed with IndexError)."""
+    width, height = 16, 16
+    rgb_in = bytes((120, 200, 64)) * (width * height)
+    y, cb, cr = _rgb_to_ycbcr(rgb_in, width, height)
+    y2, yw, yh = _subsample(y, width, height)
+    data = encode_jpeg(
+        width, height,
+        [(y2, yw, yh), (cb, width, height), (cr, width, height)],
+        [(1, 1), (2, 2), (2, 2)],
+    )
+    w, h, _, rgb = jpegx.decode_jpeg(data)
+    assert (w, h) == (width, height)
+    worst = max(abs(a - b) for a, b in zip(rgb, rgb_in))
+    assert worst <= 3, worst
+
+
+def test_truncated_segments_raise_value_error():
+    """Truncated SOF/SOS/DRI/DQT bodies raise ValueError, never
+    struct.error/IndexError."""
+    plane = bytes(range(64))
+    good = encode_jpeg(8, 8, [(plane, 8, 8)], [(1, 1)])
+    sof_at = good.index(b"\xff\xc0")
+    # shrink the SOF length to 2 (empty body follows per the new length)
+    bad_sof = good[: sof_at + 2] + b"\x00\x02" + good[sof_at + 4 :]
+    with pytest.raises(ValueError):
+        jpegx.decode_jpeg(bad_sof)
+    sos_at = good.index(b"\xff\xda")
+    bad_sos = good[: sos_at + 2] + b"\x00\x02" + good[sos_at + 4 :]
+    with pytest.raises((ValueError, NotImplementedError)):
+        jpegx.decode_jpeg(bad_sos)

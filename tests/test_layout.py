@@ -453,3 +453,63 @@ def test_new_filter_paths_fuzz_cleanly():
             pass
 
     run()
+
+
+def test_indirect_filter_refuses_not_silently_skips():
+    """An unresolvable /Filter entry (e.g. indirect `/Filter 5 0 R`) must
+    raise the typed error, not silently return compressed bytes to the
+    interpreter (review finding: the filter-chain rewrite lost the old
+    any-/Filter refusal)."""
+    import zlib as _z
+
+    from ai_service_ocr_grading_handler_spark.core import pdfx
+
+    comp = _z.compress(_FILTER_CONTENT)
+    pdf = _filtered_one_page_pdf(comp, b"/Filter 5 0 R")
+    with pytest.raises(NotImplementedError):
+        pdfx.extract_text_boxes(pdf)
+
+
+def test_runlength_missing_eod_is_truncation():
+    from ai_service_ocr_grading_handler_spark.core import pdfx
+
+    with pytest.raises(ValueError, match="EOD"):
+        pdfx._runlength_decode(b"\x02abc")  # valid run, no EOD byte
+
+
+def test_expanding_filters_are_bomb_bounded(monkeypatch):
+    """LZW table-growth and Flate expansion are capped BEFORE allocation
+    (same policy as pngx) — a crafted stream raises ValueError instead of
+    attempting a multi-GB buffer."""
+    import zlib as _z
+
+    from ai_service_ocr_grading_handler_spark.core import pdfx
+
+    monkeypatch.setattr(pdfx, "_MAX_STREAM_BYTES", 10_000)
+    with pytest.raises(ValueError, match="bound"):
+        pdfx._bounded_inflate(_z.compress(b"\x00" * 20_000))
+    # LZW bomb: after 256(clear) + one literal, repeatedly emitting
+    # code == next_code grows each table entry by one byte — quadratic
+    # output from linear input
+    codes = [256, 65] + [258 + i for i in range(400)]
+    acc = 0
+    nbits = 0
+    width = 9
+    out = bytearray()
+    table_len = 258
+    for c in codes:
+        acc = (acc << width) | c
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        if c != 256:
+            table_len += 1 if c != 65 else 0
+        if c == 65:
+            table_len = 258  # first code after clear adds nothing
+        if table_len + 1 >= (1 << width) and width < 12:
+            width += 1
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    with pytest.raises(ValueError, match="bound|bomb"):
+        pdfx._lzw_decode(bytes(out))
