@@ -191,7 +191,15 @@ def lsh_neardups(
     at max_bucket sorted members before the O(k²) in-row pair array —
     especially load-bearing here, where each member struct carries the
     full embedding; see dedup.minhash_lsh_neardups for the rationale (the
-    cap never triggers on the fixtures, so the oracle stays value-exact)."""
+    cap never triggers on the fixtures, so the oracle stays value-exact).
+
+    Codegen note (measured round 4): this stage trips Janino's 64 KB limit
+    and falls back to interpreted eval for the verify projection; an
+    inline(array(struct)) Generate-barrier variant that isolates the
+    cosine into its own (compilable) stage measured 2.5x SLOWER (1.61 ->
+    4.04 s at sf0.1) because the barrier materializes pair structs with
+    full embeddings. The fallback is cheaper than avoiding it — keep this
+    form."""
     sigs = df.select("vec_id", "embedding", lsh_bucket_col().alias("bucket"))
     from ai_service_ocr_grading_handler_spark.operators.dedup import (
         in_bucket_pairs_expr,
