@@ -719,6 +719,49 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_library(
+    "warc_roundtrip",
+    f"""
+    SELECT {DUCKDB_URL_EXPR.format(id='doc_id', src='source')} AS url,
+           '2024-01-02 03:04:05' AS warc_ts_str,
+           text AS html_text
+    FROM documents ORDER BY url
+    """,
+)
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC ingestion edge value-checked cross-engine: each document
+    is wrapped NATIVELY (Spark SQL string concat) into a complete
+    WARC/1.0 response record — WARC headers with a correct
+    Content-Length, an HTTP/1.1 envelope — and the binary blobs run
+    through the real `sources.warc` parsing kernel. A hash match proves
+    header parsing, Content-Length slicing, HTTP envelope splitting and
+    WARC-Date handling reproduce the original (url, ts, body) exactly."""
+    from ai_service_ocr_grading_handler_spark.sources import warc as _warc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"),
+        F.col("text"),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\n"),
+        F.lit("WARC-Date: 2024-01-02T03:04:05Z\r\nWARC-Target-URI: "),
+        url_col("doc_id", "source"),
+        F.lit("\r\nContent-Length: "),
+        F.length(F.encode(http, "utf-8")).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
+    blobs = docs.select(F.encode(record, "utf-8").alias("content"))
+    pages = _warc.warc_pages(blobs)
+    return pages.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_str"),
+        F.decode("html", "utf-8").alias("html_text"),
+    ).orderBy("url")
+
+
 # Frontier split for the incremental-dedup tier: the planted dup corpus is
 # base docs (doc_id < 1M, "committed by a prior run") plus +1M exact and
 # +2M near copies (the "new" slice) — monotone ids, the append-only lake
