@@ -369,6 +369,42 @@ def classify_blocks(blocks: list[Block]) -> list[Block]:
 
 _BLOCK_SEP = "\n\n"
 
+# <meta charset="..."> OR <meta http-equiv=... content="...; charset=...">
+# — both spell "charset=" inside a <meta> tag, which is all the sniff needs
+_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)", re.IGNORECASE
+)
+
+
+def decode_html(html_bytes: bytes | bytearray | memoryview) -> str:
+    """WHATWG-style encoding sniff: BOM first, then a <meta> charset
+    declaration within the first 1024 bytes, else UTF-8 with replacement.
+
+    Real web corpora declare legacy encodings (latin-1, windows-1251,
+    gbk, shift_jis, ...) that a blanket utf-8 decode mangles into U+FFFD
+    runs; honoring the page's own declaration is what every production
+    extractor (trafilatura/jusText/warcio) does. Documents with no BOM
+    and no declaration decode exactly as before (utf-8, replace), so the
+    byte-identity oracle corpus — which declares nothing — is unaffected.
+    Unknown/undecodable declared names fall back to utf-8-replace rather
+    than failing the row."""
+    b = bytes(html_bytes)
+    if b[:3] == b"\xef\xbb\xbf":
+        return b[3:].decode("utf-8", errors="replace")
+    if b[:2] == b"\xff\xfe":
+        return b[2:].decode("utf-16-le", errors="replace")
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", errors="replace")
+    m = _CHARSET_RE.search(b[:1024])
+    if m:
+        enc = m.group(1).decode("ascii").lower()
+        if enc not in ("utf-8", "utf8", "ascii", "us-ascii"):
+            try:
+                return b.decode(enc, errors="replace")
+            except LookupError:
+                pass  # unknown label -> default path
+    return b.decode("utf-8", errors="replace")
+
 
 def extract_doc(html_bytes: bytes | None) -> ExtractResult:
     """bytes -> (main-content text, source spans, block features).
@@ -379,7 +415,7 @@ def extract_doc(html_bytes: bytes | None) -> ExtractResult:
     if html_bytes is None:
         return ExtractResult(text="", spans=[])
     if isinstance(html_bytes, (bytes, bytearray, memoryview)):
-        html_text = bytes(html_bytes).decode("utf-8", errors="replace")
+        html_text = decode_html(html_bytes)
     else:
         html_text = str(html_bytes)
     blocks = classify_blocks(segment_blocks(html_text))

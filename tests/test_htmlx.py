@@ -161,3 +161,33 @@ def test_unclosed_anchor_does_not_poison_following_blocks():
     blocks = classify_blocks(segment_blocks(html2.decode()))
     joined = [b for b in blocks if "line" in b.text]
     assert joined and all(b.link_density > 0.9 for b in joined)
+
+
+def test_charset_sniffing():
+    """Encoding declarations are honored (BOM > meta charset > utf-8
+    default), and undeclared documents decode exactly as before."""
+    from ai_service_ocr_grading_handler_spark.core.htmlx import decode_html, extract_doc
+
+    body = "café résumé naïve " * 10
+    html = f'<html><head><meta charset="iso-8859-1"></head><body><p>{body}</p></body></html>'
+    latin = html.encode("iso-8859-1")
+    assert "café résumé" in extract_doc(latin).text
+    # same bytes WITHOUT the declaration mangle into replacement chars
+    undeclared = html.replace('<meta charset="iso-8859-1">', "").encode("iso-8859-1")
+    assert "caf�" in extract_doc(undeclared).text
+    # http-equiv spelling
+    he = (
+        '<html><head><meta http-equiv="Content-Type" content="text/html;'
+        f' charset=windows-1252"></head><body><p>{body}</p></body></html>'
+    ).encode("cp1252")
+    assert "café résumé" in extract_doc(he).text
+    # BOMs win
+    assert decode_html("﻿hé".encode("utf-8"))[0:2] == "hé"
+    assert decode_html(b"\xff\xfe" + "hé".encode("utf-16-le")) == "hé"
+    assert decode_html(b"\xfe\xff" + "hé".encode("utf-16-be")) == "hé"
+    # unknown declared label falls back to utf-8-replace, never raises
+    junk = b'<meta charset="no-such-enc"><p>plain ascii</p>'
+    assert "plain ascii" in decode_html(junk)
+    # utf-8 declared = fast path, identical to default
+    u8 = f'<meta charset="utf-8"><p>{body}</p>'.encode()
+    assert extract_doc(u8).text == extract_doc(u8.replace(b'<meta charset="utf-8">', b"")).text
