@@ -398,7 +398,14 @@ def decode_html(html_bytes: bytes | bytearray | memoryview) -> str:
     m = _CHARSET_RE.search(b[:1024])
     if m:
         enc = m.group(1).decode("ascii").lower()
-        if enc not in ("utf-8", "utf8", "ascii", "us-ascii"):
+        # a meta-declared UTF-16 is treated as UTF-8 per WHATWG: the ASCII
+        # regex could only have matched ASCII-compatible bytes, so the
+        # document cannot actually be UTF-16 — decoding it as such would
+        # pair bytes into mojibake (review finding)
+        if enc not in (
+            "utf-8", "utf8", "ascii", "us-ascii",
+            "utf-16", "utf16", "utf-16le", "utf-16be", "unicode",
+        ):
             try:
                 return b.decode(enc, errors="replace")
             except LookupError:

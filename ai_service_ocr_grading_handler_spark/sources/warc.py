@@ -39,6 +39,7 @@ archive ingestion per the north rule instead of per-row network calls.
 
 from __future__ import annotations
 
+import re
 import zlib
 from collections.abc import Iterator
 from datetime import datetime, timezone
@@ -54,25 +55,33 @@ _GZIP_MAGIC = b"\x1f\x8b"
 
 
 def _gzip_members(blob: bytes) -> Iterator[bytes]:
-    """Decompress a concatenation of gzip members one at a time."""
+    """Decompress a concatenation of gzip members one at a time.
+
+    Tolerance policy (review finding): a corrupt or truncated member stops
+    iteration — the records already decoded from THIS file survive and the
+    task completes — while a decompression BOMB (member inflating past the
+    bound) is a hard ValueError: tolerance must never become an OOM. The
+    memoryview keeps per-member slicing zero-copy (a 1 GB archive holds
+    ~100k members; bytes slices would be O(n²) memcpy — review finding)."""
+    mv = memoryview(blob)
     pos = 0
     n = len(blob)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
         try:
-            out = d.decompress(blob[pos:], _MAX_MEMBER_BYTES + 1)
-        except zlib.error as e:
-            raise ValueError(f"corrupt gzip member at byte {pos}: {e}") from e
+            out = d.decompress(mv[pos:], _MAX_MEMBER_BYTES + 1)
+        except zlib.error:
+            return  # corrupt member: keep what we have
         if len(out) > _MAX_MEMBER_BYTES:
             raise ValueError(
                 f"gzip member exceeds the {_MAX_MEMBER_BYTES}-byte bound"
             )
         if not d.eof:
-            raise ValueError(f"truncated gzip member at byte {pos}")
+            return  # truncated member (interrupted upload): stop cleanly
         yield out
-        consumed = len(blob) - pos - len(d.unused_data)
+        consumed = n - pos - len(d.unused_data)
         if consumed <= 0:  # defensive: avoid an infinite loop on weirdness
-            raise ValueError("gzip member consumed zero bytes")
+            return
         pos += consumed
 
 
@@ -101,84 +110,159 @@ def _dechunk(body: bytes) -> bytes:
     return bytes(out)
 
 
-def _parse_record(raw: bytes) -> tuple[dict[str, str], bytes] | None:
-    """One WARC record's bytes -> (warc headers, payload) or None."""
-    if not raw.startswith(b"WARC/"):
-        return None
-    head_end = raw.find(b"\r\n\r\n")
-    if head_end < 0:
-        return None
-    headers: dict[str, str] = {}
-    for line in raw[:head_end].split(b"\r\n")[1:]:
-        k, _, v = line.partition(b":")
-        if _:
-            headers[k.strip().decode("latin-1").lower()] = (
-                v.strip().decode("latin-1")
-            )
+def _scan_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Sequential record scan over concatenated WARC records: advance by
+    each record's own Content-Length — NEVER by searching for a record
+    marker, which a payload can legally contain (review finding: the old
+    split-on-marker approach truncated any record whose body embedded a
+    WARC example, then yielded the embedded fragment as a phantom
+    record). A malformed header resyncs to the next plausible record
+    start; one bad record never drops the rest of the member."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 5] != b"WARC/":
+            nxt = data.find(b"\r\n\r\nWARC/", pos)
+            if nxt < 0:
+                return
+            pos = nxt + 4  # resync AFTER a record terminator only
+            continue
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            return
+        headers: dict[str, str] = {}
+        for line in data[pos:head_end].split(b"\r\n")[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().decode("latin-1").lower()] = (
+                    v.strip().decode("latin-1")
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = head_end + 4
+            continue
+        payload = data[head_end + 4 : head_end + 4 + length]
+        if len(payload) < length:
+            return  # truncated final record
+        yield headers, payload
+        pos = head_end + 4 + length
+        # consume the record terminator (and any stray blank lines)
+        while data[pos : pos + 2] == b"\r\n":
+            pos += 2
+
+
+_UTF8_BOM = b"\xef\xbb\xbf"
+_CHARSET_PARAM_RE = re.compile(
+    r"charset\s*=\s*\"?\s*([A-Za-z0-9_\-]+)", re.IGNORECASE
+)
+
+
+def _decode_content_encoding(body: bytes, encoding: bytes) -> bytes | None:
+    """Reverse HTTP Content-Encoding (review finding: older crawls store
+    content-encoded bodies verbatim, and emitting compressed bytes as
+    `html` feeds garbage to extraction with no error anywhere). gzip and
+    deflate decode with the bounded inflater; brotli/unknown return None
+    (undecodable here -> the caller drops the record rather than shipping
+    bytes nothing downstream can read)."""
+    enc = encoding.strip().lower()
+    if enc in (b"", b"identity"):
+        return body
+    if enc in (b"gzip", b"x-gzip", b"deflate"):
+        for wbits in (47, -15):  # auto zlib/gzip header, then raw deflate
+            d = zlib.decompressobj(wbits=wbits)
+            try:
+                out = d.decompress(body, _MAX_MEMBER_BYTES + 1)
+            except zlib.error:
+                continue
+            if len(out) > _MAX_MEMBER_BYTES:
+                raise ValueError(
+                    f"content-encoded body exceeds the {_MAX_MEMBER_BYTES}-byte bound"
+                )
+            if d.eof:
+                return out
+        return None  # neither framing decoded cleanly
+    return None  # brotli/zstd/unknown: no codec in this runtime
+
+
+def _transcode_declared_charset(body: bytes, ctype: str | None) -> bytes:
+    """HTTP-header charset is the HIGHEST-precedence encoding source
+    (WHATWG), but the pages table stores only bytes — so a non-UTF-8
+    header declaration is honored HERE, once, at the ingestion edge: the
+    body is transcoded to UTF-8 and prefixed with the UTF-8 BOM so
+    `htmlx.decode_html` (BOM first) decodes it correctly even when an
+    in-body <meta> tag still claims the legacy charset (review finding:
+    dropping the parsed charset mis-decoded header-declared pages)."""
+    if not ctype:
+        return body
+    m = _CHARSET_PARAM_RE.search(ctype)
+    if not m:
+        return body
+    enc = m.group(1).lower()
+    if enc in ("utf-8", "utf8", "ascii", "us-ascii"):
+        return body
+    if body[:3] == _UTF8_BOM or body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return body  # an in-band BOM outranks the header
     try:
-        length = int(headers.get("content-length", ""))
-    except ValueError:
-        return None
-    payload = raw[head_end + 4 : head_end + 4 + length]
-    if len(payload) < length:
-        return None  # truncated record
-    return headers, payload
+        return _UTF8_BOM + body.decode(enc, errors="replace").encode("utf-8")
+    except LookupError:
+        return body  # unknown label: leave bytes for the meta/BOM sniff
 
 
 def iter_warc_records(blob: bytes):
-    """WARC bytes (raw or multi-member gzip) -> (warc_type, target_uri,
-    warc_date, http_status, content_type, body) tuples.
+    """WARC bytes (raw, whole-file gzip, or per-record gzip members) ->
+    (warc_type, target_uri, warc_date, http_status, content_type, body)
+    tuples.
 
-    For `response` records the payload's HTTP envelope is parsed: status
-    lifted from the status line, Content-Type from the headers, chunked
-    bodies de-chunked. Non-HTTP payloads pass through with status/ctype
-    None."""
+    Records are scanned SEQUENTIALLY by Content-Length inside every
+    decompressed member and inside raw blobs — a gzip member may hold one
+    record (Common-Crawl style) or a whole file (`gzip file.warc` style),
+    and payload bytes may legally contain anything, including text that
+    looks like a WARC record. For `response` records the payload's HTTP
+    envelope is parsed: status lifted from the status line, Content-Type
+    from the headers, chunked bodies de-chunked, Content-Encoding
+    reversed (undecodable encodings drop the record), and a non-UTF-8
+    HTTP-declared charset transcoded at this edge. Non-HTTP payloads pass
+    through with status/ctype None."""
     blob = bytes(blob)
     if blob[:2] == _GZIP_MAGIC:
-        members: Iterator[bytes] = _gzip_members(blob)
+        streams: Iterator[bytes] = _gzip_members(blob)
     else:
-        # raw WARC: records separated by \r\n\r\n after each payload;
-        # split on the record marker (payload bytes can contain it only
-        # if a record lies about Content-Length, which _parse_record
-        # rejects via the length check)
-        members = iter(
-            b"WARC/" + part
-            for part in blob.split(b"\r\n\r\nWARC/")
-            for part in [part.removeprefix(b"WARC/")]
-        )
-    for member in members:
-        # NOTE: no rstrip — trailing CRLFs may be payload bytes counted by
-        # Content-Length (e.g. a chunked body's terminating 0\r\n\r\n);
-        # the record terminator is ignored by the length slice anyway
-        parsed = _parse_record(member)
-        if parsed is None:
-            continue
-        headers, payload = parsed
-        wtype = headers.get("warc-type", "")
-        uri = headers.get("warc-target-uri")
-        date = headers.get("warc-date")
-        status = None
-        ctype = None
-        body = payload
-        if payload[:5] in (b"HTTP/",) and b"\r\n" in payload:
-            he = payload.find(b"\r\n\r\n")
-            if he >= 0:
-                head = payload[:he].split(b"\r\n")
-                parts = head[0].split()
-                if len(parts) >= 2 and parts[1].isdigit():
-                    status = int(parts[1])
-                chunked = False
-                for line in head[1:]:
-                    k, _, v = line.partition(b":")
-                    lk = k.strip().lower()
-                    if lk == b"content-type":
-                        ctype = v.strip().decode("latin-1")
-                    elif lk == b"transfer-encoding" and b"chunked" in v.lower():
-                        chunked = True
-                body = payload[he + 4 :]
-                if chunked:
-                    body = _dechunk(body)
-        yield (wtype, uri, date, status, ctype, body)
+        streams = iter((blob,))
+    for data in streams:
+        for headers, payload in _scan_records(data):
+            wtype = headers.get("warc-type", "")
+            uri = headers.get("warc-target-uri")
+            date = headers.get("warc-date")
+            status = None
+            ctype = None
+            body = payload
+            if payload[:5] == b"HTTP/" and b"\r\n" in payload:
+                he = payload.find(b"\r\n\r\n")
+                if he >= 0:
+                    head = payload[:he].split(b"\r\n")
+                    parts = head[0].split()
+                    if len(parts) >= 2 and parts[1].isdigit():
+                        status = int(parts[1])
+                    chunked = False
+                    cenc = b""
+                    for line in head[1:]:
+                        k, _, v = line.partition(b":")
+                        lk = k.strip().lower()
+                        if lk == b"content-type":
+                            ctype = v.strip().decode("latin-1")
+                        elif lk == b"transfer-encoding" and b"chunked" in v.lower():
+                            chunked = True
+                        elif lk == b"content-encoding":
+                            cenc = v
+                    body = payload[he + 4 :]
+                    if chunked:
+                        body = _dechunk(body)
+                    decoded = _decode_content_encoding(body, cenc)
+                    if decoded is None:
+                        continue  # undecodable Content-Encoding: drop record
+                    body = _transcode_declared_charset(decoded, ctype)
+            yield (wtype, uri, date, status, ctype, body)
 
 
 def _parse_warc_date(s: str | None):

@@ -188,6 +188,10 @@ def test_charset_sniffing():
     # unknown declared label falls back to utf-8-replace, never raises
     junk = b'<meta charset="no-such-enc"><p>plain ascii</p>'
     assert "plain ascii" in decode_html(junk)
+    # meta-declared utf-16 is treated as utf-8 per WHATWG: the bytes
+    # matched an ASCII regex, so they cannot actually be utf-16
+    lying = b'<meta charset="utf-16"><p>ascii-compatible body</p>'
+    assert "ascii-compatible body" in decode_html(lying)
     # utf-8 declared = fast path, identical to default
     u8 = f'<meta charset="utf-8"><p>{body}</p>'.encode()
     assert extract_doc(u8).text == extract_doc(u8.replace(b'<meta charset="utf-8">', b"")).text

@@ -118,33 +118,115 @@ def _fixture_warc() -> tuple[bytes, list[tuple[str, bytes]]]:
 
 def test_warc_record_iteration_raw_and_gzip():
     import gzip
-    import zlib
 
     from ai_service_ocr_grading_handler_spark.sources import warc
 
     raw, expected = _fixture_warc()
-    # per-record gzip members, Common-Crawl style
-    gz = b"".join(
-        gzip.compress(raw[i:j])
-        for i, j in _record_bounds(raw)
+    # three layouts must parse identically: raw, per-record gzip members
+    # (Common-Crawl style), and ONE gzip member holding the whole file
+    # (`gzip file.warc` style — review finding: the old per-member parse
+    # silently dropped every record after the first)
+    per_record_gz = b"".join(
+        gzip.compress(raw[i:j]) for i, j in _record_bounds(raw)
     )
-    for blob in (raw, gz):
+    whole_file_gz = gzip.compress(raw)
+    for blob in (raw, per_record_gz, whole_file_gz):
         kept = [
             (uri, body)
             for wtype, uri, date, status, ctype, body in warc.iter_warc_records(blob)
             if wtype == "response" and status == 200 and ctype and "html" in ctype
         ]
         assert kept == expected
-    # dates parse to naive UTC
-    recs = list(warc.iter_warc_records(raw))
+    # WARC-Date values parse through the iterator to naive UTC
+    dates = {
+        date for _, _, date, _, _, _ in warc.iter_warc_records(raw)
+    }
+    assert "2024-05-06T07:08:09Z" in dates
     assert warc._parse_warc_date(
         "2024-05-06T07:08:09Z"
     ).isoformat() == "2024-05-06T07:08:09"
-    # corrupt gzip member raises typed
+    # corrupt gzip stops cleanly (no records, no exception); a truncated
+    # FINAL member keeps the records already decoded
+    assert list(warc.iter_warc_records(b"\x1f\x8bgarbage")) == []
+    truncated = per_record_gz[:-20]
+    kept = [u for t, u, *_ in warc.iter_warc_records(truncated) if t == "response"]
+    assert kept  # earlier members survived
+    # a decompression BOMB is still a hard error
     import pytest as _pt
 
+    big = gzip.compress(b"\x00" * (warc._MAX_MEMBER_BYTES + 2))
     with _pt.raises(ValueError):
-        list(warc.iter_warc_records(b"\x1f\x8bgarbage"))
+        list(warc.iter_warc_records(big))
+
+
+def test_warc_payload_containing_warc_text_is_not_split():
+    """A response whose BODY embeds a CRLF WARC example must survive
+    intact, and the embedded fragment must NOT mint a phantom record
+    (review finding: the old marker-split approach failed both ways)."""
+    from ai_service_ocr_grading_handler_spark.sources import warc
+
+    trap = (
+        b"<html><body><pre>intro\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://phantom.example/\r\nContent-Length: 5\r\n"
+        b"\r\nhello</pre>" + b" real words" * 30 + b"</body></html>"
+    )
+    raw = _warc_record(
+        "response", "https://real.example/x", "2024-05-06T07:00:00Z",
+        _http(200, "text/html", trap),
+    ) + _warc_record(
+        "response", "https://real.example/y", "2024-05-06T07:00:01Z",
+        _http(200, "text/html", b"<html><body>after</body></html>"),
+    )
+    recs = [
+        (u, body) for t, u, _, s, c, body in warc.iter_warc_records(raw)
+        if t == "response"
+    ]
+    assert [u for u, _ in recs] == [
+        "https://real.example/x", "https://real.example/y",
+    ]
+    assert recs[0][1] == trap  # body intact, nothing truncated
+
+
+def test_warc_content_encoding_and_http_charset():
+    """gzip Content-Encoding bodies are inflated; brotli records are
+    dropped (undecodable here, not emitted as garbage); an HTTP-declared
+    legacy charset is transcoded to BOM-prefixed UTF-8 at the ingestion
+    edge so downstream decode_html honors it over a lying <meta>."""
+    import gzip
+
+    from ai_service_ocr_grading_handler_spark.core.htmlx import decode_html
+    from ai_service_ocr_grading_handler_spark.sources import warc
+
+    html = b"<html><body><p>" + b"gzipped words " * 20 + b"</p></body></html>"
+    gz_payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(html)
+    )
+    sjis_text = "日本語のテキスト" * 5
+    sjis_body = (
+        '<html><head><meta charset="shift_jis"></head><body><p>'
+        + sjis_text + "</p></body></html>"
+    ).encode("shift_jis")
+    sjis_payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=Shift_JIS"
+        b"\r\n\r\n" + sjis_body
+    )
+    br_payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: br\r\n\r\nnot-actually-brotli"
+    )
+    raw = (
+        _warc_record("response", "https://gz.example/", "2024-05-06T07:00:00Z", gz_payload)
+        + _warc_record("response", "https://sjis.example/", "2024-05-06T07:00:01Z", sjis_payload)
+        + _warc_record("response", "https://br.example/", "2024-05-06T07:00:02Z", br_payload)
+    )
+    recs = {u: body for t, u, _, s, c, body in warc.iter_warc_records(raw) if t == "response"}
+    assert set(recs) == {"https://gz.example/", "https://sjis.example/"}  # br dropped
+    assert recs["https://gz.example/"] == html
+    # transcoded: BOM-prefixed UTF-8; decode_html yields the Japanese text
+    body = recs["https://sjis.example/"]
+    assert body[:3] == b"\xef\xbb\xbf"
+    assert sjis_text in decode_html(body)
 
 
 def _record_bounds(raw: bytes) -> list[tuple[int, int]]:
@@ -181,11 +263,10 @@ def test_warc_to_pages_to_extraction(spark, tmp_path):
     assert rows == {
         (u, h, "2024-05-06 07:08:09" if "a.example" in u else "2024-05-06 08:00:00")
         for u, h in expected
-    } | {
-        (u, h, "2024-05-06 07:08:09" if "a.example" in u else "2024-05-06 08:00:00")
-        for u, h in expected
     }
-    assert pages.count() == 4  # 2 kept records x 2 files
+    # DISTINCT rows collapse because both files hold identical records;
+    # the count proves BOTH files contributed (2 kept records x 2 files)
+    assert pages.count() == 4
 
     ext = extract_pages(pages).select("url", "text").collect()
     by_url = {}
