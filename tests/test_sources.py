@@ -275,3 +275,42 @@ def test_warc_to_pages_to_extraction(spark, tmp_path):
     assert set(by_url) == {"https://a.example/1", "https://b.example/2"}
     assert by_url["https://a.example/1"] == {("alpha words " * 20).strip()}
     assert by_url["https://b.example/2"] == {("beta words " * 25).strip()}
+
+
+def test_warc_ingestion_is_resumable(spark, tmp_path):
+    """The full north-rule pipeline over archives: WARC files -> pages ->
+    salted resumable extraction with lineage. Run 2 sees run 1's archive
+    AGAIN plus one new one; the anti-join frontier extracts only the new
+    records and the manifests account for exactly that."""
+    import gzip
+
+    from ai_service_ocr_grading_handler_spark.plans import lineage
+    from ai_service_ocr_grading_handler_spark.sources import warc
+
+    raw, expected = _fixture_warc()
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "seg-1.warc.gz").write_bytes(gzip.compress(raw))
+
+    out = str(tmp_path / "out")
+    m1 = lineage.run_extract(spark, warc.read_warc_pages(spark, str(d)), out, "run1")
+    assert m1["rows_written"] == len(expected) == 2
+
+    # a new archive arrives; the old one is still in the directory
+    extra = _warc_record(
+        "response", "https://c.example/3", "2024-05-07T00:00:00Z",
+        _http(200, "text/html", b"<html><body><p>" + b"gamma words " * 22 + b"</p></body></html>"),
+    )
+    (d / "seg-2.warc.gz").write_bytes(gzip.compress(extra))
+    m2 = lineage.run_extract(spark, warc.read_warc_pages(spark, str(d)), out, "run2")
+    assert m2["rows_written"] == 1  # ONLY the new record; no re-extraction
+
+    final = spark.read.parquet(f"{out}/extracted")
+    urls = sorted(r.url for r in final.select("url").collect())
+    assert urls == [
+        "https://a.example/1", "https://b.example/2", "https://c.example/3",
+    ]
+    # run 3 with nothing new is a no-op append
+    m3 = lineage.run_extract(spark, warc.read_warc_pages(spark, str(d)), out, "run3")
+    assert m3["rows_written"] == 0
+    assert spark.read.parquet(f"{out}/extracted").count() == 3
