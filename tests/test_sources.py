@@ -314,3 +314,51 @@ def test_warc_ingestion_is_resumable(spark, tmp_path):
     m3 = lineage.run_extract(spark, warc.read_warc_pages(spark, str(d)), out, "run3")
     assert m3["rows_written"] == 0
     assert spark.read.parquet(f"{out}/extracted").count() == 3
+
+
+def test_warc_scanner_roundtrip_property():
+    """Generative round trip: ANY records (payloads may contain CRLFs,
+    record-marker lookalikes, binary junk) synthesized into an archive —
+    raw, whole-file gzip, or per-record gzip — scan back exactly."""
+    import gzip
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ai_service_ocr_grading_handler_spark.sources import warc
+
+    payload = st.binary(max_size=200) | st.just(
+        b"\r\n\r\nWARC/1.0\r\nContent-Length: 3\r\n\r\nxyz"  # embedded trap
+    )
+    record = st.tuples(
+        st.sampled_from(["response", "request", "metadata", "revisit"]),
+        st.integers(0, 1_000_000),
+        payload,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(record, min_size=0, max_size=6), st.integers(0, 2))
+    def run(recs, layout):
+        # exact per-record byte runs (the fixture helper _record_bounds is
+        # marker-based and would mis-split payloads embedding "WARC/1.0")
+        record_bytes = [
+            _warc_record(t, f"https://x.example/{i}", "2024-05-06T07:08:09Z", p)
+            for t, i, p in recs
+        ]
+        raw = b"".join(record_bytes)
+        if layout == 1:
+            blob = gzip.compress(raw) if raw else raw
+        elif layout == 2:
+            blob = b"".join(gzip.compress(r) for r in record_bytes)
+        else:
+            blob = raw
+        got = [
+            (t, u, body)
+            for t, u, _, _, _, body in warc.iter_warc_records(blob)
+        ]
+        want = [
+            (t, f"https://x.example/{i}", p) for t, i, p in recs
+        ]
+        assert got == want
+
+    run()
