@@ -397,14 +397,16 @@ def decode_html(html_bytes: bytes | bytearray | memoryview) -> str:
         return b[2:].decode("utf-16-be", errors="replace")
     m = _CHARSET_RE.search(b[:1024])
     if m:
-        enc = m.group(1).decode("ascii").lower()
+        # normalize before the membership test: Python's codec lookup also
+        # accepts underscore aliases (utf_16, utf_16_le, u16), which would
+        # bypass a literal-label skip list (review finding)
+        enc = m.group(1).decode("ascii").lower().replace("_", "-")
         # a meta-declared UTF-16 is treated as UTF-8 per WHATWG: the ASCII
         # regex could only have matched ASCII-compatible bytes, so the
         # document cannot actually be UTF-16 — decoding it as such would
         # pair bytes into mojibake (review finding)
-        if enc not in (
-            "utf-8", "utf8", "ascii", "us-ascii",
-            "utf-16", "utf16", "utf-16le", "utf-16be", "unicode",
+        if enc not in ("utf-8", "utf8", "ascii", "us-ascii") and not enc.startswith(
+            ("utf-16", "utf16", "u16", "unicode")
         ):
             try:
                 return b.decode(enc, errors="replace")

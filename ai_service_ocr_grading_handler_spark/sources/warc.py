@@ -26,7 +26,7 @@ Spark side:
 Scale notes: `binaryFile` ships whole files to tasks — exactly how WARC
 is meant to be split (per-file parallelism; Common Crawl segments are
 ~1 GB for this reason). Records decompress one member at a time with a
-bounded inflater (`_MAX_MEMBER_BYTES`), so a single huge/craftred record
+bounded inflater (`_MAX_RECORD_BYTES`), so a single huge/craftred record
 fails typed instead of OOMing the executor. The kernel keeps only HTML
 response records; revisit/request/metadata records are dropped at parse
 time, before anything crosses Arrow.
@@ -46,43 +46,124 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
-# bound on ONE decompressed record/member — a crawl record is capped far
-# below this in practice (CC truncates at 1 MiB); same bomb policy as the
-# codec modules
-_MAX_MEMBER_BYTES = 1 << 26
+# Bomb bounds: per-RECORD payload cap (a crawl record is capped far below
+# this in practice — CC truncates at 1 MiB) and a header-region cap. The
+# scanner's buffer trims as records are consumed, so memory is bounded by
+# the largest single record, NOT the archive or member size.
+_MAX_RECORD_BYTES = 1 << 26
+_MAX_HEADER_BYTES = 1 << 20
+_INFLATE_CHUNK = 1 << 20
 
 _GZIP_MAGIC = b"\x1f\x8b"
 
 
-def _gzip_members(blob: bytes) -> Iterator[bytes]:
-    """Decompress a concatenation of gzip members one at a time.
-
-    Tolerance policy (review finding): a corrupt or truncated member stops
-    iteration — the records already decoded from THIS file survive and the
-    task completes — while a decompression BOMB (member inflating past the
-    bound) is a hard ValueError: tolerance must never become an OOM. The
-    memoryview keeps per-member slicing zero-copy (a 1 GB archive holds
-    ~100k members; bytes slices would be O(n²) memcpy — review finding)."""
+def _inflate_chunks(blob: bytes, pos: int, d) -> Iterator[bytes]:
+    """Bounded-chunk decompression of ONE gzip member starting at
+    blob[pos]. Ends silently on zlib corruption — the caller checks d.eof
+    to distinguish a clean member end from corruption/truncation."""
     mv = memoryview(blob)
-    pos = 0
-    n = len(blob)
-    while pos < n:
-        d = zlib.decompressobj(wbits=31)
-        try:
-            out = d.decompress(mv[pos:], _MAX_MEMBER_BYTES + 1)
-        except zlib.error:
-            return  # corrupt member: keep what we have
-        if len(out) > _MAX_MEMBER_BYTES:
-            raise ValueError(
-                f"gzip member exceeds the {_MAX_MEMBER_BYTES}-byte bound"
+    try:
+        out = d.decompress(mv[pos:], _INFLATE_CHUNK)
+        while True:
+            if out:
+                yield out
+            if d.eof or not d.unconsumed_tail:
+                return
+            out = d.decompress(d.unconsumed_tail, _INFLATE_CHUNK)
+    except zlib.error:
+        return
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n")[1:]:
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.strip().decode("latin-1").lower()] = (
+                v.strip().decode("latin-1")
             )
-        if not d.eof:
-            return  # truncated member (interrupted upload): stop cleanly
-        yield out
-        consumed = n - pos - len(d.unused_data)
-        if consumed <= 0:  # defensive: avoid an infinite loop on weirdness
-            return
-        pos += consumed
+    return headers
+
+
+def _scan_stream(chunks: Iterator[bytes]) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Sequential WARC-record scan over a CHUNKED byte stream: advance by
+    each record's own Content-Length — NEVER by searching for a record
+    marker, which a payload can legally contain (review finding: a
+    marker-split approach truncated records embedding WARC examples and
+    minted the fragments as phantom records). Memory is bounded by one
+    record (consumed prefix is trimmed), so whole-file-gzip archives of
+    any size stream through (review finding: the old per-member
+    materialization hard-failed real whole-file .warc.gz over the bound).
+
+    Trust policy (review finding: resyncing after a malformed header
+    re-opened the phantom-record hole, and a negative Content-Length
+    looped forever): leading junk before the FIRST record is skipped; a
+    malformed header, malformed Content-Length, or non-CRLF bytes between
+    records STOPS this stream — record boundaries can no longer be
+    trusted. An over-bound record raises (bomb contract)."""
+    buf = bytearray()
+    it = iter(chunks)
+    eof = False
+    pos = 0
+    synced = False
+
+    def pull() -> bool:
+        nonlocal eof
+        try:
+            buf.extend(next(it))
+            return True
+        except StopIteration:
+            eof = True
+            return False
+
+    while True:
+        if pos > _INFLATE_CHUNK:
+            del buf[:pos]
+            pos = 0
+        if not synced:
+            idx = buf.find(b"WARC/", pos)
+            if idx < 0:
+                if len(buf) - pos > _MAX_HEADER_BYTES or (eof and not pull()):
+                    return
+                pull()
+                continue
+            pos = idx
+            synced = True
+        # between records: only CRLFs, then the next record or EOF
+        while buf[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if buf[pos : pos + 5] != b"WARC/":
+            if len(buf) - pos < 5 and not eof:
+                if pull():
+                    continue
+            if len(buf) - pos == 0:
+                return  # clean end of stream
+            return  # junk between records: boundaries untrustworthy -> stop
+        he = buf.find(b"\r\n\r\n", pos)
+        if he < 0:
+            if len(buf) - pos > _MAX_HEADER_BYTES:
+                return  # runaway header: malformed
+            if not pull():
+                return  # truncated header at EOF
+            continue
+        headers = _parse_headers(bytes(buf[pos:he]))
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return  # unparsable length: cannot locate the next boundary
+        if length < 0:
+            return  # negative length looped the old scanner forever
+        if length > _MAX_RECORD_BYTES:
+            raise ValueError(
+                f"WARC record payload {length} exceeds the"
+                f" {_MAX_RECORD_BYTES}-byte bound"
+            )
+        need = he + 4 + length
+        while len(buf) < need:
+            if not pull():
+                return  # truncated record at EOF
+        yield headers, bytes(buf[he + 4 : need])
+        pos = need
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -110,48 +191,6 @@ def _dechunk(body: bytes) -> bytes:
     return bytes(out)
 
 
-def _scan_records(data: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
-    """Sequential record scan over concatenated WARC records: advance by
-    each record's own Content-Length — NEVER by searching for a record
-    marker, which a payload can legally contain (review finding: the old
-    split-on-marker approach truncated any record whose body embedded a
-    WARC example, then yielded the embedded fragment as a phantom
-    record). A malformed header resyncs to the next plausible record
-    start; one bad record never drops the rest of the member."""
-    pos = 0
-    n = len(data)
-    while pos < n:
-        if data[pos : pos + 5] != b"WARC/":
-            nxt = data.find(b"\r\n\r\nWARC/", pos)
-            if nxt < 0:
-                return
-            pos = nxt + 4  # resync AFTER a record terminator only
-            continue
-        head_end = data.find(b"\r\n\r\n", pos)
-        if head_end < 0:
-            return
-        headers: dict[str, str] = {}
-        for line in data[pos:head_end].split(b"\r\n")[1:]:
-            k, sep, v = line.partition(b":")
-            if sep:
-                headers[k.strip().decode("latin-1").lower()] = (
-                    v.strip().decode("latin-1")
-                )
-        try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
-            pos = head_end + 4
-            continue
-        payload = data[head_end + 4 : head_end + 4 + length]
-        if len(payload) < length:
-            return  # truncated final record
-        yield headers, payload
-        pos = head_end + 4 + length
-        # consume the record terminator (and any stray blank lines)
-        while data[pos : pos + 2] == b"\r\n":
-            pos += 2
-
-
 _UTF8_BOM = b"\xef\xbb\xbf"
 _CHARSET_PARAM_RE = re.compile(
     r"charset\s*=\s*\"?\s*([A-Za-z0-9_\-]+)", re.IGNORECASE
@@ -172,12 +211,12 @@ def _decode_content_encoding(body: bytes, encoding: bytes) -> bytes | None:
         for wbits in (47, -15):  # auto zlib/gzip header, then raw deflate
             d = zlib.decompressobj(wbits=wbits)
             try:
-                out = d.decompress(body, _MAX_MEMBER_BYTES + 1)
+                out = d.decompress(body, _MAX_RECORD_BYTES + 1)
             except zlib.error:
                 continue
-            if len(out) > _MAX_MEMBER_BYTES:
+            if len(out) > _MAX_RECORD_BYTES:
                 raise ValueError(
-                    f"content-encoded body exceeds the {_MAX_MEMBER_BYTES}-byte bound"
+                    f"content-encoded body exceeds the {_MAX_RECORD_BYTES}-byte bound"
                 )
             if d.eof:
                 return out
@@ -198,8 +237,15 @@ def _transcode_declared_charset(body: bytes, ctype: str | None) -> bytes:
     m = _CHARSET_PARAM_RE.search(ctype)
     if not m:
         return body
-    enc = m.group(1).lower()
-    if enc in ("utf-8", "utf8", "ascii", "us-ascii"):
+    enc = m.group(1).lower().replace("_", "-")
+    # utf-16 family labels are skipped like htmlx.decode_html does: the
+    # label is ASCII-matchable evidence of an ASCII-compatible body, and a
+    # misconfigured `charset=utf-16` header on UTF-8 bytes would bake
+    # pair-decoded mojibake permanently into the stored bytes (review
+    # finding — the same class the meta-tag guard covers)
+    if enc in ("utf-8", "utf8", "ascii", "us-ascii") or enc.startswith(
+        ("utf-16", "utf16", "u16", "unicode")
+    ):
         return body
     if body[:3] == _UTF8_BOM or body[:2] in (b"\xff\xfe", b"\xfe\xff"):
         return body  # an in-band BOM outranks the header
@@ -225,12 +271,35 @@ def iter_warc_records(blob: bytes):
     HTTP-declared charset transcoded at this edge. Non-HTTP payloads pass
     through with status/ctype None."""
     blob = bytes(blob)
-    if blob[:2] == _GZIP_MAGIC:
-        streams: Iterator[bytes] = _gzip_members(blob)
-    else:
-        streams = iter((blob,))
-    for data in streams:
-        for headers, payload in _scan_records(data):
+
+    def record_streams() -> Iterator[Iterator[tuple[dict[str, str], bytes]]]:
+        if blob[:2] != _GZIP_MAGIC:
+            yield _scan_stream(iter((blob,)))
+            return
+        pos = 0
+        n = len(blob)
+        while pos < n:
+            d = zlib.decompressobj(wbits=31)
+            gen = _inflate_chunks(blob, pos, d)
+            yield _scan_stream(gen)
+            for _ in gen:  # drain: the scanner may stop before member end
+                pass
+            if d.eof:
+                consumed = n - pos - len(d.unused_data)
+                if consumed <= 0:
+                    return
+                pos += consumed
+            else:
+                # corrupt/truncated member: resync to the NEXT gzip member
+                # so one flipped byte early in a 100k-member archive skips
+                # only that member, not the whole file (review finding)
+                nxt = blob.find(_GZIP_MAGIC + b"\x08", pos + 1)
+                if nxt < 0:
+                    return
+                pos = nxt
+
+    for stream in record_streams():
+        for headers, payload in stream:
             wtype = headers.get("warc-type", "")
             uri = headers.get("warc-target-uri")
             date = headers.get("warc-date")

@@ -189,9 +189,12 @@ def test_charset_sniffing():
     junk = b'<meta charset="no-such-enc"><p>plain ascii</p>'
     assert "plain ascii" in decode_html(junk)
     # meta-declared utf-16 is treated as utf-8 per WHATWG: the bytes
-    # matched an ASCII regex, so they cannot actually be utf-16
-    lying = b'<meta charset="utf-16"><p>ascii-compatible body</p>'
-    assert "ascii-compatible body" in decode_html(lying)
+    # matched an ASCII regex, so they cannot actually be utf-16 — and the
+    # guard must survive Python-only aliases (utf_16, u16, utf_16_le)
+    # the codec lookup also accepts (review finding)
+    for label in ("utf-16", "utf_16", "u16", "utf_16_le", "utf-16be", "unicode"):
+        lying = f'<meta charset="{label}"><p>ascii-compatible body</p>'.encode()
+        assert "ascii-compatible body" in decode_html(lying), label
     # utf-8 declared = fast path, identical to default
     u8 = f'<meta charset="utf-8"><p>{body}</p>'.encode()
     assert extract_doc(u8).text == extract_doc(u8.replace(b'<meta charset="utf-8">', b"")).text

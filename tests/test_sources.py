@@ -151,12 +151,66 @@ def test_warc_record_iteration_raw_and_gzip():
     truncated = per_record_gz[:-20]
     kept = [u for t, u, *_ in warc.iter_warc_records(truncated) if t == "response"]
     assert kept  # earlier members survived
-    # a decompression BOMB is still a hard error
+    # the bomb bound is per RECORD: a record header declaring an absurd
+    # Content-Length raises; a large ARCHIVE streams fine (below)
     import pytest as _pt
 
-    big = gzip.compress(b"\x00" * (warc._MAX_MEMBER_BYTES + 2))
+    bomb = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: "
+        + str(warc._MAX_RECORD_BYTES + 1).encode() + b"\r\n\r\n"
+    )
     with _pt.raises(ValueError):
-        list(warc.iter_warc_records(big))
+        list(warc.iter_warc_records(gzip.compress(bomb)))
+    # a negative Content-Length must stop cleanly, never loop (review
+    # finding: the old scanner yielded the same record forever)
+    neg = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -54\r\n\r\n"
+        b"junk"
+    )
+    assert list(warc.iter_warc_records(neg)) == []
+
+
+def test_warc_whole_file_gzip_streams_past_member_bound():
+    """A whole-file-gzipped archive larger than any single-record bound
+    streams record-by-record with bounded memory (review finding: the old
+    per-member materialization hard-failed real whole-file .warc.gz)."""
+    import gzip
+
+    from ai_service_ocr_grading_handler_spark.sources import warc
+
+    body = b"x" * 200_000
+    n = (warc._MAX_RECORD_BYTES // len(body)) + 8  # decompressed >> bound
+    one = _warc_record(
+        "response", "https://big.example/", "2024-05-06T07:08:09Z",
+        _http(200, "text/html", body),
+    )
+    blob = gzip.compress(one * n)
+    count = sum(1 for _ in warc.iter_warc_records(blob))
+    assert count == n
+
+
+def test_warc_mid_archive_corruption_resyncs():
+    """One corrupted gzip member skips ONLY that member: the scan resyncs
+    to the next member magic instead of silently dropping the rest of the
+    archive (review finding)."""
+    import gzip
+
+    from ai_service_ocr_grading_handler_spark.sources import warc
+
+    recs = [
+        _warc_record(
+            "response", f"https://m.example/{i}", "2024-05-06T07:08:09Z",
+            _http(200, "text/html", b"<html>" + str(i).encode() * 40 + b"</html>"),
+        )
+        for i in range(5)
+    ]
+    members = [gzip.compress(r) for r in recs]
+    members[1] = members[1][:12] + b"\xde\xad\xbe\xef" + members[1][16:]  # corrupt member 1
+    got = [u for _, u, *_ in warc.iter_warc_records(b"".join(members))]
+    # member 0 survives, member 1 is lost, members 2-4 are recovered
+    assert got[0] == "https://m.example/0"
+    assert set(got) >= {f"https://m.example/{i}" for i in (2, 3, 4)}
+    assert "https://m.example/1" not in got
 
 
 def test_warc_payload_containing_warc_text_is_not_split():
