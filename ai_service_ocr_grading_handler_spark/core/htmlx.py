@@ -406,7 +406,7 @@ def decode_html(html_bytes: bytes | bytearray | memoryview) -> str:
         # document cannot actually be UTF-16 — decoding it as such would
         # pair bytes into mojibake (review finding)
         if enc not in ("utf-8", "utf8", "ascii", "us-ascii") and not enc.startswith(
-            ("utf-16", "utf16", "u16", "unicode")
+            ("utf-16", "utf16", "u16", "utf-32", "utf32", "u32", "unicode")
         ):
             try:
                 return b.decode(enc, errors="replace")

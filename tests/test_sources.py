@@ -283,6 +283,33 @@ def test_warc_content_encoding_and_http_charset():
     assert sjis_text in decode_html(body)
 
 
+def test_http_charset_wide_labels_need_nul_evidence():
+    """`charset=utf-16` on ASCII-compatible bytes is a routine server
+    misconfiguration — honoring it blindly bakes mojibake into stored
+    bytes; but a GENUINE BOM-less UTF-16 body (NUL-dense) must still be
+    transcoded (review findings, both directions). Same for utf-32."""
+    from ai_service_ocr_grading_handler_spark.core.htmlx import decode_html
+    from ai_service_ocr_grading_handler_spark.sources import warc
+
+    ascii_body = b"<html><body><p>plain ascii page body</p></body></html>"
+    for label in ("utf-16", "utf_16", "u16", "utf-32", "u32"):
+        out = warc._transcode_declared_charset(
+            ascii_body, f"text/html; charset={label}"
+        )
+        assert out == ascii_body, label  # mislabel: untouched
+    wide = "<html><body><p>wide text body página</p></body></html>"
+    for enc in ("utf-16-le", "utf-16-be"):
+        out = warc._transcode_declared_charset(
+            wide.encode(enc), f"text/html; charset={enc}"
+        )
+        assert out[:3] == b"\xef\xbb\xbf", enc
+        assert "wide text body página" in decode_html(out), enc
+    # decode_html's meta-tag guard covers utf-32 aliases too
+    for label in ("utf-32", "utf32", "u32", "utf_32_le"):
+        lying = f'<meta charset="{label}"><p>ascii-compatible body</p>'.encode()
+        assert "ascii-compatible body" in decode_html(lying), label
+
+
 def _record_bounds(raw: bytes) -> list[tuple[int, int]]:
     """Byte ranges of each record in the concatenated fixture."""
     bounds = []
