@@ -159,3 +159,16 @@ def test_simhash_signature_computed_once(spark):
         f"signature pipeline appears {plan.count(marker)}x (expected once) — "
         "a self-join without exchange reuse doubles the dominant cost"
     )
+
+
+def test_bench_headline_names_resolve_across_tiers():
+    """Every bench HEADLINE query must resolve from the merged
+    driver+library registries — a demotion that breaks the headline set
+    should fail here, in CI, not in the driver's per-round bench run."""
+    import bench
+
+    merged = {**registry.library_queries(), **registry.queries()}
+    missing = [
+        n for n in bench.HEADLINE if n != "extract_pages_bench" and n not in merged
+    ]
+    assert missing == []

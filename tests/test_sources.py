@@ -443,3 +443,32 @@ def test_warc_scanner_roundtrip_property():
         assert got == want
 
     run()
+
+
+def test_warc_scanner_chunk_boundary_invariance():
+    """_scan_stream must be invariant to WHERE the chunk boundaries fall:
+    tiny chunks split record markers, header terminators and payloads at
+    every possible offset; the scan must equal the single-chunk result."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ai_service_ocr_grading_handler_spark.sources import warc
+
+    raw, _ = _fixture_warc()
+
+    def scan(chunks):
+        return [
+            (h.get("warc-type"), h.get("warc-target-uri"), p)
+            for h, p in warc._scan_stream(chunks)
+        ]
+
+    want = scan(iter((raw,)))
+    assert len(want) == 6  # every record type in the fixture
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 64))
+    def run(chunk_size):
+        chunks = (raw[i : i + chunk_size] for i in range(0, len(raw), chunk_size))
+        assert scan(chunks) == want
+
+    run()
