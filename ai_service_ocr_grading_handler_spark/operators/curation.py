@@ -59,6 +59,103 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+# --- SURT keys + CDX index (the web-archive URL index form) --------------------
+#
+# SURT = Sort-friendly URI Reordering Transform, the key form of the
+# CDX(J) URL indexes that ship with every Common Crawl release
+# (pywb / webarchive-commons convention): lowercase, scheme + userinfo
+# dropped, default ports stripped, leading `www[0-9]*.` stripped, host
+# labels REVERSED and comma-joined, `)` before the path, query params
+# sorted so param order never splits a URL's captures. Documented subset:
+# no percent-encoding normalization and no session-id param stripping
+# (both are site-policy tables in pywb, not part of the stable core).
+# Everything is an RE2-safe native expression chain — scan-speed, zero
+# shuffle, and expressible identically in DuckDB for the value oracle.
+
+
+def surt_key_on(u: Column) -> Column:
+    """SURT key for one URL column (see module comment for the subset)."""
+    u = F.lower(F.trim(u))
+    u = F.regexp_replace(u, "^[a-z][a-z0-9+.-]*://", "")  # scheme
+    u = F.regexp_replace(u, "^[^/?#]*@", "")  # userinfo
+    netloc = F.regexp_extract(u, "^[^/?#]*", 0)
+    rest = F.regexp_replace(u, "^[^/?#]*", "")
+    port = F.regexp_extract(netloc, ":([0-9]+)$", 1)
+    host = F.regexp_replace(netloc, ":[0-9]+$", "")
+    host = F.regexp_replace(host, "^www[0-9]*\\.", "")
+    # non-default ports survive AFTER the reversed labels (pywb form
+    # `com,host:8080)`); :80/:443 are dropped as scheme defaults
+    hostkey = F.concat(
+        F.array_join(F.reverse(F.split(host, "\\.")), ","),
+        F.when(port.isin("", "80", "443"), F.lit("")).otherwise(
+            F.concat(F.lit(":"), port)
+        ),
+    )
+    path = F.regexp_extract(rest, "^[^?#]*", 0)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, "\\?([^#]*)", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        hostkey,
+        F.lit(")"),
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
+    )
+
+
+def surt_key(url_col: str = "url") -> Column:
+    """surt_key_on over a named column."""
+    return surt_key_on(F.col(url_col))
+
+
+def surt_key_duck(col: str = "url") -> str:
+    """DuckDB twin of surt_key (same RE2 patterns, list_reverse/list_sort)."""
+    u = f"regexp_replace(regexp_replace(lower(trim({col})), '^[a-z][a-z0-9+.-]*://', ''), '^[^/?#]*@', '')"
+    netloc = f"regexp_extract({u}, '^[^/?#]*')"
+    rest = f"regexp_replace({u}, '^[^/?#]*', '')"
+    port = f"regexp_extract({netloc}, ':([0-9]+)$', 1)"
+    host = f"regexp_replace(regexp_replace({netloc}, ':[0-9]+$', ''), '^www[0-9]*\\.', '')"
+    hostkey = (
+        f"(array_to_string(list_reverse(string_split({host}, '.')), ',')"
+        f" || CASE WHEN {port} IN ('', '80', '443') THEN '' ELSE ':' || {port} END)"
+    )
+    path = f"(CASE WHEN regexp_extract({rest}, '^[^?#]*') = '' THEN '/' ELSE regexp_extract({rest}, '^[^?#]*') END)"
+    query = f"regexp_extract({rest}, '\\?([^#]*)', 1)"
+    sorted_q = f"array_to_string(list_sort(string_split({query}, '&')), '&')"
+    return (
+        f"({hostkey} || ')' || {path} || "
+        f"CASE WHEN {query} = '' THEN '' ELSE '?' || {sorted_q} END)"
+    )
+
+
+def cdx_index(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    content_col: str = "html",
+) -> DataFrame:
+    """CDX(J)-style capture index over a pages frame: one row per capture
+    with (surt, warc_ts, url, digest, length), TOTALLY ORDERED by
+    (surt, warc_ts) — the ordering that makes prefix range scans ("all
+    captures of this host/path") a contiguous read, which is the entire
+    point of the CDX format. In Spark the global order is a sample-based
+    RangePartitioning exchange (one shuffle of the INDEX rows only — the
+    page bodies are reduced to an md5 digest + length before the sort, so
+    only ~100 B/row crosses the wire at any corpus size); writers then
+    emit per-partition sorted runs whose ranges abut, exactly how the
+    cluster.idx sharded CDX layout is produced."""
+    return (
+        df.select(
+            surt_key(url_col).alias("surt"),
+            F.col(ts_col),
+            F.col(url_col).alias("url"),
+            F.md5(F.col(content_col)).alias("digest"),
+            F.length(F.col(content_col)).alias("length"),
+        )
+        .orderBy("surt", ts_col)
+    )
+
+
 # --- intra-document line dedup (Dolma's within-doc pass) -----------------------
 
 

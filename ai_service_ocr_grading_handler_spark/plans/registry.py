@@ -720,6 +720,87 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_library(
+    "exact_substr_dedup",
+    _dd.exact_substr_dedup_duck(_dd.DUP_CORPUS_DUCK, 8) + " ORDER BY 1",
+)
+def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span-level dedup (Lee et al. arXiv:2107.06499) at k=8
+    words over the planted-duplicate corpus: every 8-gram occurring at
+    more than one (doc, position) is cut from all but its first
+    occurrence, so the +1M exact and +2M truncated copies come back
+    (near-)empty while originals survive verbatim. Full value oracle: the
+    DuckDB twin replays the identical md5-gram window-rank +
+    gaps-and-islands pipeline and compares reassembled TEXT, not counts."""
+    return _dd.exact_substr_dedup(_dd.dup_corpus(spark, sf_dir), k=8).orderBy(
+        "doc_id"
+    )
+
+
+from ai_service_ocr_grading_handler_spark.operators import curation as _curation
+
+
+def _cdx_ts_duck() -> str:
+    return (
+        "'20240101'"
+        " || lpad(((doc_id % 86400) // 3600)::varchar, 2, '0')"
+        " || lpad((((doc_id % 86400) % 3600) // 60)::varchar, 2, '0')"
+        " || lpad(((doc_id % 86400) % 60)::varchar, 2, '0')"
+    )
+
+
+def _cdx_url_duck() -> str:
+    base = DUCKDB_URL_EXPR.format(id="doc_id", src="source")
+    u = f"CASE WHEN doc_id % 5 = 0 THEN regexp_replace({base}, '\\.com/', '.com:443/') ELSE {base} END"
+    u = f"CASE WHEN doc_id % 3 = 0 THEN {u} || '?b=2&a=1&utm_source=x' ELSE {u} END"
+    return (
+        f"CASE WHEN doc_id % 4 = 0 THEN upper(regexp_replace({u}, '^https://', 'https://www.'))"
+        f" ELSE {u} END"
+    )
+
+
+@register_library(
+    "cdx_index",
+    f"""
+    WITH pages AS (
+      SELECT {_cdx_url_duck()} AS url, {_cdx_ts_duck()} AS warc_ts, text
+      FROM documents
+    )
+    SELECT {_curation.surt_key_duck('url')} AS surt,
+           warc_ts, url, md5(text) AS digest, length(text) AS length
+    FROM pages
+    ORDER BY surt, warc_ts
+    """,
+)
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX(J) capture index — the sharded URL index format every Common
+    Crawl release ships: SURT keys (host-reversed, www/port/scheme
+    stripped, query params sorted) totally ordered by (surt, timestamp)
+    so per-host range scans are contiguous. The synthesized pages plant
+    the canonicalization hazards (UPPERCASE www-prefixed hosts, unsorted
+    query strings with tracking params, explicit :443 default ports) on
+    deterministic doc_id residues, identically in both engines; the
+    DuckDB twin value-checks key text, digests and the total order."""
+    d = F.col("doc_id")
+    u = url_col("doc_id", "source")
+    u = F.when(d % 5 == 0, F.regexp_replace(u, "\\.com/", ".com:443/")).otherwise(u)
+    u = F.when(d % 3 == 0, F.concat(u, F.lit("?b=2&a=1&utm_source=x"))).otherwise(u)
+    u = F.when(
+        d % 4 == 0, F.upper(F.regexp_replace(u, "^https://", "https://www."))
+    ).otherwise(u)
+    s = d % 86400
+    ts = F.concat(
+        F.lit("20240101"),
+        F.lpad((s / 3600).cast("int").cast("string"), 2, "0"),
+        F.lpad(((s % 3600) / 60).cast("int").cast("string"), 2, "0"),
+        F.lpad((s % 60).cast("string"), 2, "0"),
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        u.alias("url"), ts.alias("warc_ts"), "text"
+    )
+    return _curation.cdx_index(pages, content_col="text")
+
+
+@register_library(
     "warc_roundtrip",
     f"""
     SELECT {DUCKDB_URL_EXPR.format(id='doc_id', src='source')} AS url,

@@ -276,3 +276,62 @@ def test_curate_decontaminates_against_scrubbed_benchmark(spark):
     bench = spark.createDataFrame([(100, passage)], "doc_id bigint, text string")
     out = {r.doc_id for r in curation.curate_corpus(train, benchmark=bench).collect()}
     assert out == {2}
+
+
+def test_surt_key_matches_duckdb_and_pywb_form(spark):
+    """SURT keys: scheme/userinfo/default-port/www stripped, host labels
+    reversed, query params sorted, non-default port kept after the
+    labels — pinned expected strings AND Spark==DuckDB parity."""
+    rows = [
+        (1, "https://user:pw@WWW.Example.COM:443/Path/Page?z=1&a=2#frag"),
+        (2, "http://example.com"),
+        (3, "https://www2.sub.host.org/x"),
+        (4, "host.com:8080/a"),
+        (5, "example.com/a?b"),
+        (6, "http://example.com:80/?b=2&a=1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", curation.surt_key("url").alias("s")).collect()
+    }
+    assert got[1] == "com,example)/path/page?a=2&z=1"
+    assert got[2] == "com,example)/"
+    assert got[3] == "org,host,sub)/x"
+    assert got[4] == "com,host:8080)/a"
+    assert got[5] == "com,example)/a?b"
+    assert got[6] == "com,example)/?a=1&b=2"
+    con = duckdb.connect()
+    con.execute("create table u (doc_id bigint, url varchar)")
+    con.executemany("insert into u values (?, ?)", rows)
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {curation.surt_key_duck('url')} FROM u"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_cdx_index_total_order_and_digests(spark):
+    """cdx_index: rows arrive globally ordered by (surt, warc_ts) so all
+    captures of one URL are adjacent; digests distinguish content
+    versions across recrawls of the same URL."""
+    rows = [
+        (1, "https://b.com/x", "20240102000000", "v2"),
+        (2, "https://a.com/x", "20240101000000", "v1"),
+        (3, "https://b.com/x", "20240101000000", "v1"),
+        (4, "https://WWW.A.com/x?b=1&a=1", "20240103000000", "v1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string, warc_ts string, html string")
+    out = curation.cdx_index(df).collect()
+    assert [r.surt for r in out] == [
+        "com,a)/x",
+        "com,a)/x?a=1&b=1",
+        "com,b)/x",
+        "com,b)/x",
+    ]
+    # the two b.com/x captures are adjacent and time-ordered
+    assert (out[2].warc_ts, out[3].warc_ts) == ("20240101000000", "20240102000000")
+    assert out[2].digest != out[3].digest  # recrawl changed content
+    assert out[2].digest == out[0].digest  # same bytes -> same digest
+    assert all(r.length == 2 for r in out)

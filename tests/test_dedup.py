@@ -579,3 +579,55 @@ def test_persist_window_survives_concurrent_invocations(spark):
     assert results[0] == expected[0.6] == results[3]
     assert results[1] == expected[0.9] == results[5]
     assert results[2] == sem_expected == results[4]
+
+
+def test_exact_substr_dedup_planted_spans(spark):
+    """ExactSubstr span dedup at k=4: a 4-gram shared across docs is cut
+    from every occurrence except the lexicographically-first (doc, pos);
+    a full-copy doc empties; an intra-doc repeat keeps its first window;
+    sub-k docs are untouched verbatim; removed-span stats are exact."""
+    rows = [
+        (1, "w1 w2 S1 S2 S3 S4 w3 w4"),
+        (2, "x1 S1 S2 S3 S4 x2 x3"),
+        (3, "w1 w2 S1 S2 S3 S4 w3 w4"),  # exact copy of doc 1
+        (4, "r1 r2 r3 r4 r1 r2 r3 r4"),  # intra-doc repetition
+        (5, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in dedup.exact_substr_dedup(df, k=4).collect()}
+    assert got[1].text == "w1 w2 S1 S2 S3 S4 w3 w4"  # first occurrence kept
+    assert got[1].n_spans_removed == 0
+    assert got[2].text == "x1 x2 x3"
+    assert (got[2].n_spans_removed, got[2].n_tokens_removed) == (1, 4)
+    # doc 3: every gram also occurs in doc 1 -> intervals merge to [1, 8]
+    assert got[3].text == ""
+    assert (got[3].n_spans_removed, got[3].n_tokens_removed) == (1, 8)
+    # doc 4: gram at pos 5 duplicates pos 1; pos 2-4 windows are unique
+    assert got[4].text == "r1 r2 r3 r4"
+    assert (got[4].n_spans_removed, got[4].n_tokens_removed) == (1, 4)
+    assert got[5].text == "too short" and got[5].n_spans_removed == 0
+
+
+def test_exact_substr_dedup_partitioning_invariance(spark):
+    """The keep rule is min (doc_id, pos) — resumed/repartitioned runs must
+    cut identical spans."""
+    rows = [(i, f"p{i} a b c d e f q{i}") for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    base = sorted(
+        map(tuple, dedup.exact_substr_dedup(df, k=5).collect())
+    )
+    shuffled = sorted(
+        map(
+            tuple,
+            dedup.exact_substr_dedup(df.repartition(7, "text"), k=5).collect(),
+        )
+    )
+    assert base == shuffled
+    # the shared interior 5-gram "b c d e f"? positions: 'a b c d e' is at
+    # pos 2 in every doc; keeper is doc 1 -> docs 2..8 each lose the merged
+    # [2, 7] window ('a b c d e' + 'b c d e f' overlap)
+    by_id = dict((t[0], t) for t in base)
+    assert by_id[1][1] == "p1 a b c d e f q1"
+    for i in range(2, 9):
+        assert by_id[i][1] == f"p{i} q{i}"
+        assert by_id[i][2:] == (1, 6)
