@@ -64,7 +64,9 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
 # SURT = Sort-friendly URI Reordering Transform, the key form of the
 # CDX(J) URL indexes that ship with every Common Crawl release
 # (pywb / webarchive-commons convention): lowercase, scheme + userinfo
-# dropped, default ports stripped, leading `www[0-9]*.` stripped, host
+# dropped, the scheme's OWN default port stripped (http:80 / https:443 —
+# cross-scheme pairs like http://host:443 keep the port and stay
+# distinct), leading `www[0-9]*.` stripped, host
 # labels REVERSED and comma-joined, `)` before the path, query params
 # sorted so param order never splits a URL's captures. Documented subset:
 # no percent-encoding normalization and no session-id param stripping
@@ -76,6 +78,7 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
 def surt_key_on(u: Column) -> Column:
     """SURT key for one URL column (see module comment for the subset)."""
     u = F.lower(F.trim(u))
+    scheme = F.regexp_extract(u, "^([a-z][a-z0-9+.-]*)://", 1)
     u = F.regexp_replace(u, "^[a-z][a-z0-9+.-]*://", "")  # scheme
     u = F.regexp_replace(u, "^[^/?#]*@", "")  # userinfo
     netloc = F.regexp_extract(u, "^[^/?#]*", 0)
@@ -84,10 +87,12 @@ def surt_key_on(u: Column) -> Column:
     host = F.regexp_replace(netloc, ":[0-9]+$", "")
     host = F.regexp_replace(host, "^www[0-9]*\\.", "")
     # non-default ports survive AFTER the reversed labels (pywb form
-    # `com,host:8080)`); :80/:443 are dropped as scheme defaults
+    # `com,host:8080)`); only the OWN scheme's default is dropped
+    # (:443 for https, :80 otherwise — http://host:443 stays distinct)
+    default_port = F.when(scheme == "https", F.lit("443")).otherwise(F.lit("80"))
     hostkey = F.concat(
         F.array_join(F.reverse(F.split(host, "\\.")), ","),
-        F.when(port.isin("", "80", "443"), F.lit("")).otherwise(
+        F.when((port == "") | (port == default_port), F.lit("")).otherwise(
             F.concat(F.lit(":"), port)
         ),
     )
@@ -110,14 +115,16 @@ def surt_key(url_col: str = "url") -> Column:
 
 def surt_key_duck(col: str = "url") -> str:
     """DuckDB twin of surt_key (same RE2 patterns, list_reverse/list_sort)."""
+    scheme = f"regexp_extract(lower(trim({col})), '^([a-z][a-z0-9+.-]*)://', 1)"
     u = f"regexp_replace(regexp_replace(lower(trim({col})), '^[a-z][a-z0-9+.-]*://', ''), '^[^/?#]*@', '')"
     netloc = f"regexp_extract({u}, '^[^/?#]*')"
     rest = f"regexp_replace({u}, '^[^/?#]*', '')"
     port = f"regexp_extract({netloc}, ':([0-9]+)$', 1)"
     host = f"regexp_replace(regexp_replace({netloc}, ':[0-9]+$', ''), '^www[0-9]*\\.', '')"
+    default_port = f"(CASE WHEN {scheme} = 'https' THEN '443' ELSE '80' END)"
     hostkey = (
         f"(array_to_string(list_reverse(string_split({host}, '.')), ',')"
-        f" || CASE WHEN {port} IN ('', '80', '443') THEN '' ELSE ':' || {port} END)"
+        f" || CASE WHEN {port} = '' OR {port} = {default_port} THEN '' ELSE ':' || {port} END)"
     )
     path = f"(CASE WHEN regexp_extract({rest}, '^[^?#]*') = '' THEN '/' ELSE regexp_extract({rest}, '^[^?#]*') END)"
     query = f"regexp_extract({rest}, '\\?([^#]*)', 1)"

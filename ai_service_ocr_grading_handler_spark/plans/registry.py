@@ -750,7 +750,7 @@ def _cdx_ts_duck() -> str:
 
 def _cdx_url_duck() -> str:
     base = DUCKDB_URL_EXPR.format(id="doc_id", src="source")
-    u = f"CASE WHEN doc_id % 5 = 0 THEN regexp_replace({base}, '\\.com/', '.com:443/') ELSE {base} END"
+    u = f"CASE WHEN doc_id % 5 = 0 THEN regexp_replace({base}, '^(https://[^/]*)/', '\\1:443/') ELSE {base} END"
     u = f"CASE WHEN doc_id % 3 = 0 THEN {u} || '?b=2&a=1&utm_source=x' ELSE {u} END"
     return (
         f"CASE WHEN doc_id % 4 = 0 THEN upper(regexp_replace({u}, '^https://', 'https://www.'))"
@@ -782,7 +782,7 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin value-checks key text, digests and the total order."""
     d = F.col("doc_id")
     u = url_col("doc_id", "source")
-    u = F.when(d % 5 == 0, F.regexp_replace(u, "\\.com/", ".com:443/")).otherwise(u)
+    u = F.when(d % 5 == 0, F.regexp_replace(u, "^(https://[^/]*)/", "$1:443/")).otherwise(u)
     u = F.when(d % 3 == 0, F.concat(u, F.lit("?b=2&a=1&utm_source=x"))).otherwise(u)
     u = F.when(
         d % 4 == 0, F.upper(F.regexp_replace(u, "^https://", "https://www."))

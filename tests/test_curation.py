@@ -289,6 +289,11 @@ def test_surt_key_matches_duckdb_and_pywb_form(spark):
         (4, "host.com:8080/a"),
         (5, "example.com/a?b"),
         (6, "http://example.com:80/?b=2&a=1"),
+        # cross-scheme: only the OWN scheme's default port is stripped,
+        # so http://host:443 and https://host:80 stay distinct resources
+        (7, "http://example.com:443/x"),
+        (8, "https://example.com:80/x"),
+        (9, "https://example.com:443/x"),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, url string")
     got = {
@@ -301,6 +306,9 @@ def test_surt_key_matches_duckdb_and_pywb_form(spark):
     assert got[4] == "com,host:8080)/a"
     assert got[5] == "com,example)/a?b"
     assert got[6] == "com,example)/?a=1&b=2"
+    assert got[7] == "com,example:443)/x"
+    assert got[8] == "com,example:80)/x"
+    assert got[9] == "com,example)/x"
     con = duckdb.connect()
     con.execute("create table u (doc_id bigint, url varchar)")
     con.executemany("insert into u values (?, ?)", rows)
