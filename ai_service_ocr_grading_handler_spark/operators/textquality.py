@@ -317,3 +317,153 @@ def duck_rolling_fingerprint(col: str = "text") -> str:
         f"list_reduce(list_transform(string_split({col}, ' '), w -> {_WORD_H_DUCK}),"
         f" (acc, h) -> (acc * {_KR_BASE} + h) % {_KR_MOD})"
     )
+
+
+# --- CCNet-style LM scoring + perplexity buckets ---------------------------------
+# CCNet (Wenzek et al., arXiv:1911.00359) ranks web documents by the
+# perplexity of a language model trained on a trusted reference corpus and
+# splits the CDF into head/middle/tail thirds — the selection signal most
+# public pretraining recipes (CCNet, LLaMA, RedPajama) apply after dedup.
+# The reference uses a KenLM 5-gram model; the engine-native re-expression
+# here is an add-alpha-smoothed word BIGRAM model, trained and applied
+# entirely with DataFrame ops so both training and scoring stay JVM-side:
+#
+#   logP(w2|w1) = ln( (c(w1,w2) + a) / (c(w1) + a*V) )
+#   doc score   = mean bigram logprob   (monotone inverse of perplexity)
+#
+# 100 TB shape: training is two map-side-combined groupBys over the
+# REFERENCE slice (small by construction — CCNet trains on Wikipedia, not
+# the crawl); scoring joins each doc bigram to the count tables — broadcast
+# joins when the pruned LM fits (prune to top-K bigrams and rely on the
+# smoothing floor for the tail, as KenLM pruning does), shuffle hash joins
+# otherwise; the per-doc reduce is one map-side-combinable avg. Bucket
+# cutoffs are ONE 2-value aggregate broadcast back — never a global sort
+# (an ntile window over the corpus would single-partition it).
+#
+# Scores are rounded to 6dp BEFORE the cutoff percentile so the
+# head/middle/tail assignment compares identically-rounded doubles in both
+# engines (raw fp sums differ in the last ulp across engines; rounding
+# first makes every downstream comparison engine-stable).
+
+_BIGRAMS_EXPR = (
+    "transform(slice(w, 2, size(w)-1), (x, i) -> struct(w[i] AS w1, x AS w2))"
+)
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(id, n_bigrams, lm_logprob): mean add-alpha bigram logprob of every
+    doc in `df` (with >= 2 words) under the model counted from `ref_df`."""
+    w = F.split(F.col(text_col), " ")
+    refw = ref_df.select(w.alias("w"))
+    uni = (
+        refw.select(F.explode("w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = (
+        refw.select(F.explode(F.expr(_BIGRAMS_EXPR)).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    docb = (
+        df.select(F.col(id_col), w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(id_col, F.explode(F.expr(_BIGRAMS_EXPR)).alias("b"))
+        .select(id_col, "b.w1", "b.w2")
+    )
+    lp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("v"))
+    )
+    return (
+        docb.join(bi, ["w1", "w2"], "left")
+        .join(uni, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("lp", lp)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("lm_logprob"),
+        )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    ref_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """CCNet head/middle/tail: tertile cutoffs of the (rounded) score
+    distribution, attached via a 1-row broadcast crossJoin (never a
+    global-sort window; allow-listed in the plan lint as a bounded
+    broadcast side). head = highest mean logprob = lowest perplexity,
+    exactly CCNet's orientation."""
+    scored = bigram_lm_score(df, ref_df, id_col, text_col, alpha)
+    cuts = scored.agg(
+        F.round(
+            F.expr("percentile(lm_logprob, cast(1 as double)/3)"), 6
+        ).alias("c_lo"),
+        F.round(
+            F.expr("percentile(lm_logprob, cast(2 as double)/3)"), 6
+        ).alias("c_hi"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            id_col,
+            "n_bigrams",
+            "lm_logprob",
+            F.when(F.col("lm_logprob") >= F.col("c_hi"), F.lit("head"))
+            .when(F.col("lm_logprob") >= F.col("c_lo"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )
+
+
+def perplexity_buckets_duck(
+    corpus_sql: str, ref_sql: str, alpha: float = 1.0
+) -> str:
+    """DuckDB twin of perplexity_buckets: same counts, same smoothing
+    formula, same round-before-percentile discipline (quantile_cont's
+    linear interpolation at p*(n-1) matches Spark's `percentile`)."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    refd AS ({ref_sql}),
+    refw AS (SELECT string_split(text, ' ') AS w FROM refd),
+    uni AS (SELECT w1, count(*) AS c1
+            FROM (SELECT unnest(w) AS w1 FROM refw) GROUP BY 1),
+    bi AS (SELECT w[i] AS w1, w[i + 1] AS w2, count(*) AS c2
+           FROM refw, unnest(generate_series(1, len(w) - 1)) AS t(i)
+           GROUP BY 1, 2),
+    v AS (SELECT count(*)::double AS v FROM uni),
+    docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+    docb AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+             FROM docw, unnest(generate_series(1, len(w) - 1)) AS t(i)
+             WHERE len(w) >= 2),
+    scored AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(avg(ln((coalesce(c2, 0) + {alpha})
+                          / (coalesce(c1, 0) + {alpha} * v.v))), 6) AS lm_logprob
+      FROM docb LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1)
+      CROSS JOIN v
+      GROUP BY doc_id),
+    cuts AS (SELECT round(quantile_cont(lm_logprob, 1.0/3), 6) AS c_lo,
+                    round(quantile_cont(lm_logprob, 2.0/3), 6) AS c_hi
+             FROM scored)
+    SELECT doc_id, n_bigrams, lm_logprob,
+           CASE WHEN lm_logprob >= c_hi THEN 'head'
+                WHEN lm_logprob >= c_lo THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM scored CROSS JOIN cuts
+    """

@@ -900,6 +900,43 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+@register_library(
+    "neardup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_dd.minhash_lsh_duck(_dd.DUP_CORPUS_DUCK)}),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION
+      SELECT b_id, a_id FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r
+    )
+    SELECT id AS doc_id, min(r) AS component, (min(r) = id) AS is_rep
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation over the MinHash pair output: hash-min
+    label propagation with pointer jumping (Rastogi et al. / Kiveris et
+    al. star-contraction family) turns the pair list into connected
+    components so exactly one doc per transitive duplicate group survives
+    — the post-LSH step every published dedup pipeline (RefinedWeb 5.2,
+    Dolma, SlimPajama) runs. The oracle recomputes the full MinHash pair
+    oracle and closes it transitively with a recursive CTE; on this
+    corpus the +2M near-copy chains {id, id+2M} are the components."""
+    pairs = _dd.minhash_lsh_neardups(_dd.dup_corpus(spark, sf_dir))
+    cc = _dd.connected_components(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component"),
+        (F.col("comp") == F.col("id")).alias("is_rep"),
+    ).orderBy("doc_id")
+
+
 _SIMHASH_DUCK = _dd.simhash_duck_expr("wh")
 
 
@@ -2773,6 +2810,28 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # AND reordered so that if a future driver checks fewer, the north-rule
 # flagships and newest operators are checked first.
 # ---------------------------------------------------------------------------
+
+@register_library(
+    "perplexity_buckets",
+    _tq.perplexity_buckets_duck(
+        "SELECT doc_id, text FROM documents",
+        "SELECT text FROM documents WHERE doc_id % 10 = 0",
+    )
+    + " ORDER BY doc_id",
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality selection (arXiv:1911.00359): score every doc
+    by mean bigram logprob under an add-alpha LM counted from a trusted
+    reference slice (doc_id % 10 — CCNet's Wikipedia stand-in), then cut
+    the score distribution into head/middle/tail tertiles. Training is
+    two map-side-combined groupBys over the small reference; scoring is
+    count-table joins plus one per-doc avg; cutoffs are a 1-row broadcast
+    — no global sort anywhere. The DuckDB twin value-checks every count,
+    the smoothed logprob and the bucket assignment."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 10 == 0).select("text")
+    return _tq.perplexity_buckets(docs, ref).orderBy("doc_id")
+
 
 _PRIORITY = [
     "extract_pages",

@@ -631,3 +631,89 @@ def test_exact_substr_dedup_partitioning_invariance(spark):
     for i in range(2, 9):
         assert by_id[i][1] == f"p{i} q{i}"
         assert by_id[i][2:] == (1, 6)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Pointer-jumped hash-min: a 5-node chain (diameter 4 — forces
+    multi-round convergence), a triangle, and an isolated pair all label
+    to their min id; nodes absent from the pair list never appear."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a_id bigint, b_id bigint",
+    )
+    got = {
+        r.id: r.comp for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_partitioning_invariant(spark):
+    """Min-id labels are a fixpoint property, not an execution property:
+    a repartitioned, reversed-column pair frame yields identical labels."""
+    import random
+
+    rnd = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 40)] + [
+        (rnd.randrange(100, 120), rnd.randrange(100, 120)) for _ in range(30)
+    ]
+    pairs = spark.createDataFrame(edges, "a_id bigint, b_id bigint")
+    base = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    flipped = pairs.select(
+        F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")
+    ).repartition(13)
+    again = {r.id: r.comp for r in dedup.connected_components(flipped).collect()}
+    assert base == again
+
+
+def test_cluster_dedup_keeps_one_per_component(spark):
+    """cluster_dedup: min-id member survives per component; unpaired docs
+    pass through."""
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 7, 8, 9)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "a_id bigint, b_id bigint")
+    kept = sorted(r.doc_id for r in dedup.cluster_dedup(df, pairs).collect())
+    assert kept == [1, 7, 9]
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """Pin the add-alpha bigram formula on a corpus small enough to fold
+    by hand, independent of the DuckDB twin (which shares the design).
+
+    ref = ["a b a b", "a c"]: c(a,b)=2, c(b,a)=1, c(a,c)=1;
+    c1: a=3, b=2, c=1; V=3, alpha=1.
+    doc "a b c": lp(a,b)=ln(3/6), lp(b,c)=ln(1/5); mean = -0.89588.
+    doc "z z": one bigram, unseen everywhere -> ln(1/3) = -1.098612.
+    """
+    import math
+
+    ref = spark.createDataFrame([("a b a b",), ("a c",)], "text string")
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "z z"), (3, "a")], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm_logprob)
+        for r in textquality.bigram_lm_score(docs, ref).collect()
+    }
+    assert 3 not in got  # single-word doc has no bigrams
+    assert got[1] == (2, round((math.log(3 / 6) + math.log(1 / 5)) / 2, 6))
+    assert got[2] == (1, round(math.log(1 / 3), 6))
+
+
+def test_perplexity_buckets_orientation(spark):
+    """Docs made of frequent reference bigrams land in 'head'; garbage in
+    'tail' — CCNet's orientation (low perplexity = head)."""
+    ref = spark.createDataFrame([("the cat sat on the mat",)], "text string")
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(4)]
+        + [(10, "the cat sat on zz qq")]
+        + [(11, "zz qq rr ss tt uu")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r.ppl_bucket
+        for r in textquality.perplexity_buckets(docs, ref).collect()
+    }
+    assert all(out[i] == "head" for i in range(4))
+    assert out[11] == "tail"

@@ -11,8 +11,10 @@ from ai_service_ocr_grading_handler_spark.plans import registry
 SF = "/root/testdata/sf0.001"
 
 # queries whose join is INTENTIONALLY a broadcast nested-loop (small
-# broadcast side x non-equi condition) — everything else must be hash/merge
-_BNLJ_OK = {"cosine_topk", "ivf_ann_topk"}
+# broadcast side x non-equi condition) — everything else must be hash/merge.
+# perplexity_buckets: the broadcast sides are 1-row scalar frames (vocab
+# size, tertile cutoffs) attached on a literal key that Catalyst folds away
+_BNLJ_OK = {"cosine_topk", "ivf_ann_topk", "perplexity_buckets"}
 
 
 # driver-window AND library-tier queries share every plan lint: demotion
