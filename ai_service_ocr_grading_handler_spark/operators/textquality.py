@@ -359,7 +359,7 @@ def bigram_lm_score(
 ) -> DataFrame:
     """(id, n_bigrams, lm_logprob): mean add-alpha bigram logprob of every
     doc in `df` (with >= 2 words) under the model counted from `ref_df`."""
-    w = F.split(F.col(text_col), " ")
+    w = words(text_col)
     refw = ref_df.select(w.alias("w"))
     uni = (
         refw.select(F.explode("w").alias("w1"))

@@ -925,9 +925,13 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     al. star-contraction family) turns the pair list into connected
     components so exactly one doc per transitive duplicate group survives
     — the post-LSH step every published dedup pipeline (RefinedWeb 5.2,
-    Dolma, SlimPajama) runs. The oracle recomputes the full MinHash pair
-    oracle and closes it transitively with a recursive CTE; on this
-    corpus the +2M near-copy chains {id, id+2M} are the components."""
+    Dolma, SlimPajama) runs. NOTE: unlike every other registry entry,
+    CONSTRUCTING this frame runs the driver-coordinated fixpoint rounds
+    (the GraphX Pregel pattern — iterative algorithms cannot be a single
+    lazy plan); it is explicitly exempted from the laziness lint as
+    _ITERATIVE_OK. The oracle recomputes the full MinHash pair oracle
+    and closes it transitively with a recursive CTE; on this corpus the
+    +2M near-copy chains {id, id+2M} are the components."""
     pairs = _dd.minhash_lsh_neardups(_dd.dup_corpus(spark, sf_dir))
     cc = _dd.connected_components(pairs)
     return cc.select(

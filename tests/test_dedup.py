@@ -666,6 +666,19 @@ def test_connected_components_partitioning_invariant(spark):
     assert base == again
 
 
+def test_connected_components_string_ids(spark):
+    """Ids keep their own type: string/UUID ids label to the
+    lexicographic minimum instead of silently casting to NULL and turning
+    cluster_dedup into a no-op (review finding)."""
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-c"), ("doc-c", "doc-a"), ("doc-x", "doc-y")],
+        "a_id string, b_id string",
+    )
+    got = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert got == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+                   "doc-x": "doc-x", "doc-y": "doc-x"}
+
+
 def test_cluster_dedup_keeps_one_per_component(spark):
     """cluster_dedup: min-id member survives per component; unpaired docs
     pass through."""
@@ -683,7 +696,7 @@ def test_bigram_lm_score_hand_computed(spark):
 
     ref = ["a b a b", "a c"]: c(a,b)=2, c(b,a)=1, c(a,c)=1;
     c1: a=3, b=2, c=1; V=3, alpha=1.
-    doc "a b c": lp(a,b)=ln(3/6), lp(b,c)=ln(1/5); mean = -0.89588.
+    doc "a b c": lp(a,b)=ln(3/6), lp(b,c)=ln(1/5); mean = -1.151293.
     doc "z z": one bigram, unseen everywhere -> ln(1/3) = -1.098612.
     """
     import math

@@ -76,25 +76,36 @@ def test_extract_scan_prunes_to_kernel_columns(spark):
 _SINK_QUERIES = {"credit_writeback"}
 
 
+# queries whose CONSTRUCTION legitimately runs driver-coordinated Spark
+# jobs because the operator is an iterative fixpoint algorithm (the GraphX
+# Pregel pattern: per-round materialization + convergence check).
+# Exemption is explicit so the laziness invariant below is never vacuous.
+_ITERATIVE_OK = {"neardup_clusters"}
+
+
 def test_no_driver_actions_inside_registry():
-    """Every non-sink registry callable must return a LAZY plan: no
-    count()/collect()/take/toPandas/write hiding inside the query body
-    (the eager set_ops_audit anti-pattern class). AST lint over each
-    registered function's source — parquet schema-inference jobs during
-    spark.read are metadata reads and don't count."""
+    """Every non-sink, non-iterative registry callable must return a LAZY
+    plan: no count()/collect()/take/toPandas/localCheckpoint/write hiding
+    inside the query body (the eager set_ops_audit anti-pattern class).
+    AST lint over each registered function's source AND — one level deep
+    — every package helper it calls (a review found actions hiding one
+    call down evade a body-only scan). Parquet schema-inference jobs
+    during spark.read are metadata reads and don't count."""
     import ast
     import inspect
     import textwrap
+    import types
 
+    PKG = "ai_service_ocr_grading_handler_spark"
     actions = {
         "count", "collect", "take", "head", "first", "toPandas",
         "toLocalIterator", "save", "saveAsTable", "foreach", "foreachPartition",
+        "localCheckpoint", "checkpoint",
     }
-    offenders: list[str] = []
-    for name, q in _ALL_QUERIES.items():
-        if name in _SINK_QUERIES:
-            continue
-        tree = ast.parse(textwrap.dedent(inspect.getsource(q)))
+
+    def action_calls(fn) -> list[str]:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+        hits = []
         for node in ast.walk(tree):
             if (
                 isinstance(node, ast.Call)
@@ -105,9 +116,75 @@ def test_no_driver_actions_inside_registry():
                     isinstance(node.func.value, ast.Name)
                     and node.func.value.id == "F"
                 )
+                # DataFrame.count() takes no args; count WITH args is
+                # str.count/pandas count inside a kernel, not an action
+                and not (
+                    node.func.attr == "count" and (node.args or node.keywords)
+                )
             ):
-                offenders.append(f"{name}: .{node.func.attr}() at line {node.lineno}")
+                hits.append(f".{node.func.attr}() at line {node.lineno}")
+        return hits
+
+    def package_helpers(fn) -> list:
+        """Functions from this package that `fn`'s body calls, resolved
+        through the function's own globals (module-alias attribute calls
+        like _dd.connected_components AND bare-name calls like _t)."""
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+        g = fn.__globals__
+        out = []
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Call):
+                continue
+            target = None
+            if isinstance(node.func, ast.Attribute) and isinstance(
+                node.func.value, ast.Name
+            ):
+                mod = g.get(node.func.value.id)
+                if isinstance(mod, types.ModuleType) and mod.__name__.startswith(
+                    PKG
+                ):
+                    target = getattr(mod, node.func.attr, None)
+            elif isinstance(node.func, ast.Name):
+                cand = g.get(node.func.id)
+                if callable(cand) and getattr(cand, "__module__", "").startswith(
+                    PKG
+                ):
+                    target = cand
+            if inspect.isfunction(target) and target not in out:
+                out.append(target)
+        return out
+
+    offenders: list[str] = []
+    for name, q in _ALL_QUERIES.items():
+        if name in _SINK_QUERIES or name in _ITERATIVE_OK:
+            continue
+        offenders += [f"{name}: {h}" for h in action_calls(q)]
+        for helper in package_helpers(q):
+            offenders += [
+                f"{name} -> {helper.__name__}: {h}" for h in action_calls(helper)
+            ]
     assert offenders == [], f"driver-side actions inside registry queries: {offenders}"
+
+
+def test_perplexity_buckets_bnlj_is_bounded(spark):
+    """_BNLJ_OK exempts perplexity_buckets from the blanket nested-loop
+    ban; this pins WHY that is safe: exactly two BroadcastNestedLoopJoins
+    (the 1-row vocab-size and tertile-cutoff frames) and the corpus-side
+    count-table joins stay hash/merge — a regression that degrades the
+    docb-to-count-table joins into a nested loop fails here even though
+    the blanket lint is exempted."""
+    df = _ALL_QUERIES["perplexity_buckets"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    # 3 textual sites: the vocab join printed in BOTH branches of the
+    # scored->cuts fan-out (AQE reuses the exchange at runtime — verified
+    # by review: 4 ReusedExchange nodes) plus the 1-row cutoff crossJoin
+    assert n_bnlj == 3, f"expected 3 scalar-frame BNLJ sites, saw {n_bnlj}"
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), "count-table joins lost their hash/merge strategy"
 
 
 def test_broadcast_joins_where_intended(spark):
