@@ -114,3 +114,166 @@ def mix_sources_duck_n_copies(
         f"(floor({expr}) + CASE WHEN {frac} < ({expr} - floor({expr}))"
         f" THEN 1 ELSE 0 END)::bigint"
     )
+
+
+# --- DSIR importance resampling ---------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al., arXiv:2302.03169):
+# fit bag-of-hashed-ngram multinomials over a TARGET (trusted) corpus and
+# the RAW pool, weight every raw doc by its target/raw log-likelihood
+# ratio, and resample without replacement via the Gumbel-top-k trick.
+# This is the third leg of the public data-selection toolbox next to the
+# Gopher heuristic gates (textquality.quality_score) and the CCNet LM
+# buckets (textquality.perplexity_buckets).
+#
+# Determinism: the paper's Gumbel noise comes from an RNG; here it is
+# derived from the doc-id hash fraction (same md5 draw as every sampler in
+# this module), so selection is reproducible across runs/partitionings and
+# value-oracle-checkable in DuckDB.
+#
+# 100 TB shape: features are hashed into `buckets` ids (paper: 10k), so
+# BOTH distribution fits are map-side-combined groupBys producing at most
+# `buckets` rows; the weight table is broadcast (hash join) to the doc
+# features; the per-doc reduce is one sum; the final top-k is a
+# TakeOrdered (per-partition heap + driver merge of k rows), never a
+# global sort. The scalar totals ride 1-row broadcast crossJoins
+# (allow-listed in the plan lint like perplexity_buckets' cutoffs).
+
+_DSIR_GRAMS = (1, 2)  # unigrams + bigrams, the paper's feature set
+
+
+def _bucket_expr_spark(n: int, buckets: int) -> str:
+    """Hashed word-n-gram bucket ids over array column `ws` — counts kept
+    (NOT distinct: DSIR multinomials need multiplicities, unlike the
+    decontamination tier's set semantics)."""
+    return (
+        "CASE WHEN size(ws) < {n} THEN cast(array() as array<bigint>)"
+        " ELSE transform(sequence(1, size(ws) - {n} + 1),"
+        " i -> pmod(cast(conv(substring(md5(concat_ws(' ', slice(ws, i, {n}))),"
+        " 1, 15), 16, 10) as bigint), {b})) END"
+    ).format(n=n, b=buckets)
+
+
+def _bucket_expr_duck(n: int, buckets: int) -> str:
+    gram = f"array_to_string(list_slice(ws, i, i + {n} - 1), ' ')"
+    return (
+        f"CASE WHEN len(ws) < {n} THEN []::BIGINT[]"
+        f" ELSE list_transform(range(1, len(ws) - {n} + 2),"
+        f" i -> (('0x' || substr(md5({gram}), 1, 15))::bigint % {buckets})) END"
+    )
+
+
+def _features(df: DataFrame, id_cols: list[str], text_col: str, buckets: int) -> DataFrame:
+    """(id_cols..., bucket) with one row per n-gram OCCURRENCE."""
+    feats = " || ".join(
+        "(" + _bucket_expr_spark(n, buckets) + ")" for n in _DSIR_GRAMS
+    )
+    return (
+        df.select(*id_cols, F.split(F.col(text_col), " ").alias("ws"))
+        .select(*id_cols, F.explode(F.expr(feats)).alias("bucket"))
+    )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Top-k raw docs under log-weight + deterministic Gumbel noise.
+
+    Output: (id, log_weight, gumbel_key) for the k selected docs, keys
+    rounded to 6dp after selection. Docs with no features (text shorter
+    than one word) never enter the feature frame and cannot be selected.
+    """
+    raw_f = _features(corpus, [id_col], text_col, buckets)
+    tgt_f = _features(target, [], text_col, buckets)
+    c_r = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    c_t = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
+    n_r = c_r.agg(F.sum("c_r").cast("double").alias("n_r"))
+    n_t = c_t.agg(F.sum("c_t").cast("double").alias("n_t"))
+    ratio = (
+        c_r.join(c_t, "bucket", "left")
+        .crossJoin(F.broadcast(n_r))
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("n_t") + F.lit(alpha * buckets))
+                )
+                - F.log(
+                    (F.col("c_r") + F.lit(alpha))
+                    / (F.col("n_r") + F.lit(alpha * buckets))
+                )
+            ).alias("logratio"),
+        )
+    )
+    logw = (
+        raw_f.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("logratio").alias("log_weight"))
+    )
+    # Gumbel-top-k: g = -ln(-ln(u)), u the deterministic md5 draw (clamped
+    # away from 0 identically in both engines)
+    u = F.greatest(hash_frac(id_col, salt), F.lit(1e-12))
+    keyed = logw.withColumn(
+        "gumbel_key", F.col("log_weight") - F.log(-F.log(u))
+    )
+    return (
+        keyed.orderBy(F.desc("gumbel_key"))
+        .limit(k)
+        .select(
+            id_col,
+            F.round("log_weight", 6).alias("log_weight"),
+            F.round("gumbel_key", 6).alias("gumbel_key"),
+        )
+    )
+
+
+def dsir_select_duck(
+    corpus_sql: str,
+    target_sql: str,
+    k: int,
+    buckets: int = 4096,
+    alpha: float = 1.0,
+    salt: str = "dsir",
+) -> str:
+    """DuckDB twin of dsir_select (same hashes, smoothing, Gumbel draw)."""
+    feats = " || ".join(
+        "(" + _bucket_expr_duck(n, buckets) + ")" for n in _DSIR_GRAMS
+    )
+    u = f"greatest({hash_frac_duck('doc_id', salt)}, 1e-12)"
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    tgt AS ({target_sql}),
+    raw_f AS (
+      SELECT doc_id, unnest({feats}) AS bucket
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)),
+    tgt_f AS (
+      SELECT unnest({feats}) AS bucket
+      FROM (SELECT string_split(text, ' ') AS ws FROM tgt)),
+    c_r AS (SELECT bucket, count(*) AS c_r FROM raw_f GROUP BY 1),
+    c_t AS (SELECT bucket, count(*) AS c_t FROM tgt_f GROUP BY 1),
+    n_r AS (SELECT sum(c_r)::double AS n_r FROM c_r),
+    n_t AS (SELECT sum(c_t)::double AS n_t FROM c_t),
+    ratio AS (
+      SELECT bucket,
+             ln((coalesce(c_t, 0) + {alpha}) / (n_t + {alpha * buckets}))
+             - ln((c_r + {alpha}) / (n_r + {alpha * buckets})) AS logratio
+      FROM c_r LEFT JOIN c_t USING (bucket) CROSS JOIN n_r CROSS JOIN n_t),
+    logw AS (
+      SELECT doc_id, sum(logratio) AS log_weight
+      FROM raw_f JOIN ratio USING (bucket) GROUP BY 1),
+    keyed AS (
+      SELECT doc_id, log_weight,
+             log_weight - ln(-ln({u})) AS gumbel_key
+      FROM logw)
+    SELECT doc_id, round(log_weight, 6) AS log_weight,
+           round(gumbel_key, 6) AS gumbel_key
+    FROM keyed ORDER BY gumbel_key DESC LIMIT {k}
+    """

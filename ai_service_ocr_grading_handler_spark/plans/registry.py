@@ -2816,6 +2816,29 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register_library(
+    "dsir_select",
+    _samp.dsir_select_duck(
+        "SELECT doc_id, text FROM documents",
+        "SELECT text FROM documents WHERE source IN ('src0', 'src1')",
+        k=100,
+    ),
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al., arXiv:2302.03169): hashed
+    unigram+bigram multinomials fit over a trusted target slice (sources
+    src0/src1) and the raw pool, per-doc target/raw log-likelihood-ratio
+    weights, Gumbel-top-k selection with the noise derived from the
+    deterministic md5 draw so the sample is reproducible and
+    value-oracled. Distribution fits are bounded-cardinality groupBys
+    (<= buckets rows), the weight table is a broadcast hash join, and the
+    top-k is a TakeOrdered — no global sort. The DuckDB twin recomputes
+    every bucket count, smoothed ratio, and the selected set."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    target = docs.filter(F.col("source").isin("src0", "src1")).select("text")
+    return _samp.dsir_select(docs.select("doc_id", "text"), target, k=100)
+
+
+@register_library(
     "perplexity_buckets",
     _tq.perplexity_buckets_duck(
         "SELECT doc_id, text FROM documents",

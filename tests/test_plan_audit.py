@@ -12,9 +12,11 @@ SF = "/root/testdata/sf0.001"
 
 # queries whose join is INTENTIONALLY a broadcast nested-loop (small
 # broadcast side x non-equi condition) — everything else must be hash/merge.
-# perplexity_buckets: the broadcast sides are 1-row scalar frames (vocab
-# size, tertile cutoffs) attached on a literal key that Catalyst folds away
-_BNLJ_OK = {"cosine_topk", "ivf_ann_topk", "perplexity_buckets"}
+# perplexity_buckets / dsir_select: the broadcast sides are 1-row scalar
+# frames (vocab size, tertile cutoffs, distribution totals) attached via
+# broadcast crossJoins; their corpus-side joins stay hash/merge (pinned
+# by the targeted tests below)
+_BNLJ_OK = {"cosine_topk", "ivf_ann_topk", "perplexity_buckets", "dsir_select"}
 
 
 # driver-window AND library-tier queries share every plan lint: demotion
@@ -185,6 +187,19 @@ def test_perplexity_buckets_bnlj_is_bounded(spark):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     ), "count-table joins lost their hash/merge strategy"
+
+
+def test_dsir_select_bnlj_is_bounded(spark):
+    """dsir_select's _BNLJ_OK exemption pinned the same way: exactly two
+    scalar-total BNLJs (n_r, n_t), broadcast HASH joins for the weight
+    table and count-table sides, and the final top-k as a TakeOrdered
+    (per-partition heap), never a global Sort+Limit."""
+    df = _ALL_QUERIES["dsir_select"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj == 2, f"expected 2 scalar-frame BNLJs, saw {n_bnlj}"
+    assert "BroadcastHashJoin" in plan, "weight-table join lost its broadcast"
+    assert "TakeOrdered" in plan, "top-k degraded from TakeOrdered"
 
 
 def test_broadcast_joins_where_intended(spark):

@@ -91,3 +91,26 @@ def test_split_weights_must_sum_to_one(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_dsir_orientation_and_determinism(spark):
+    """Docs written in the target's vocabulary outrank out-of-domain docs
+    (the importance-weight orientation), and the selection is identical
+    across partitionings (hash-derived Gumbel noise, not an RNG)."""
+    target = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",) for _ in range(5)],
+        "text string",
+    )
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps again") for i in range(5)]
+        + [(10 + i, "zz qq rr ss tt uu vv ww") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    sel = sampling.dsir_select(corpus, target, k=5)
+    picked = sorted(r.doc_id for r in sel.collect())
+    assert picked == [0, 1, 2, 3, 4]  # all in-domain, no garbage
+    again = sorted(
+        r.doc_id
+        for r in sampling.dsir_select(corpus.repartition(7), target, k=5).collect()
+    )
+    assert picked == again
