@@ -163,12 +163,18 @@ def _bucket_expr_duck(n: int, buckets: int) -> str:
 
 
 def _features(df: DataFrame, id_cols: list[str], text_col: str, buckets: int) -> DataFrame:
-    """(id_cols..., bucket) with one row per n-gram OCCURRENCE."""
+    """(id_cols..., bucket) with one row per n-gram OCCURRENCE. Empty
+    tokens are filtered out FIRST: split('', ' ') is [''] in both
+    engines, so without the filter an empty/space-padded doc would mint
+    md5('') features and a single-feature doc's near-zero summed
+    log-ratio would systematically OUT-RANK real in-domain docs (review
+    finding, verified by execution)."""
     feats = " || ".join(
         "(" + _bucket_expr_spark(n, buckets) + ")" for n in _DSIR_GRAMS
     )
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     return (
-        df.select(*id_cols, F.split(F.col(text_col), " ").alias("ws"))
+        df.select(*id_cols, ws.alias("ws"))
         .select(*id_cols, F.explode(F.expr(feats)).alias("bucket"))
     )
 
@@ -185,16 +191,42 @@ def dsir_select(
 ) -> DataFrame:
     """Top-k raw docs under log-weight + deterministic Gumbel noise.
 
-    Output: (id, log_weight, gumbel_key) for the k selected docs, keys
-    rounded to 6dp after selection. Docs with no features (text shorter
-    than one word) never enter the feature frame and cannot be selected.
+    Output: (id, log_weight, gumbel_key) for the k selected docs. Docs
+    with no non-empty tokens never enter the feature frame and cannot be
+    selected. The corpus is tokenized+hashed ONCE: features are
+    pre-aggregated to per-(doc, bucket) occurrence counts, persisted
+    (tracked eviction window), and both the raw-distribution fit and the
+    weight join read that frame — at 100 TB the dominant cost is that
+    single pass, not two. An EMPTY target slice fails fast at execution
+    (assert_true) instead of silently producing NULL weights and an
+    arbitrary, engine-divergent selection. Keys are rounded to 6dp
+    BEFORE the top-k with a doc-id tie-break (the module's
+    round-before-compare discipline) so the Spark selection and the
+    DuckDB oracle cannot diverge on a last-ulp near-tie at rank k.
     """
-    raw_f = _features(corpus, [id_col], text_col, buckets)
+    from ai_service_ocr_grading_handler_spark.operators.dedup import (
+        _persist_tracked,
+    )
+
+    docb = _persist_tracked(
+        _features(corpus, [id_col], text_col, buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
     tgt_f = _features(target, [], text_col, buckets)
-    c_r = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    c_r = docb.groupBy("bucket").agg(F.sum("n_occ").alias("c_r"))
     c_t = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
     n_r = c_r.agg(F.sum("c_r").cast("double").alias("n_r"))
-    n_t = c_t.agg(F.sum("c_t").cast("double").alias("n_t"))
+    # empty target -> n_t NULL: every downstream weight would be NULL and
+    # top-k arbitrary; assert_true turns that into a loud execution error
+    n_t = c_t.agg(F.sum("c_t").cast("double").alias("n_t_raw")).select(
+        F.when(
+            F.assert_true(
+                F.col("n_t_raw").isNotNull(), F.lit("dsir: empty target slice")
+            ).isNull(),
+            F.col("n_t_raw"),
+        ).alias("n_t")
+    )
     ratio = (
         c_r.join(c_t, "bucket", "left")
         .crossJoin(F.broadcast(n_r))
@@ -214,25 +246,17 @@ def dsir_select(
         )
     )
     logw = (
-        raw_f.join(F.broadcast(ratio), "bucket")
+        docb.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
-        .agg(F.sum("logratio").alias("log_weight"))
+        .agg(F.round(F.sum(F.col("logratio") * F.col("n_occ")), 6).alias("log_weight"))
     )
     # Gumbel-top-k: g = -ln(-ln(u)), u the deterministic md5 draw (clamped
     # away from 0 identically in both engines)
     u = F.greatest(hash_frac(id_col, salt), F.lit(1e-12))
     keyed = logw.withColumn(
-        "gumbel_key", F.col("log_weight") - F.log(-F.log(u))
+        "gumbel_key", F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
     )
-    return (
-        keyed.orderBy(F.desc("gumbel_key"))
-        .limit(k)
-        .select(
-            id_col,
-            F.round("log_weight", 6).alias("log_weight"),
-            F.round("gumbel_key", 6).alias("gumbel_key"),
-        )
-    )
+    return keyed.orderBy(F.desc("gumbel_key"), id_col).limit(k)
 
 
 def dsir_select_duck(
@@ -253,27 +277,30 @@ def dsir_select_duck(
     tgt AS ({target_sql}),
     raw_f AS (
       SELECT doc_id, unnest({feats}) AS bucket
-      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)),
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+            FROM corpus)),
+    docb AS (SELECT doc_id, bucket, count(*) AS n_occ FROM raw_f GROUP BY 1, 2),
     tgt_f AS (
       SELECT unnest({feats}) AS bucket
-      FROM (SELECT string_split(text, ' ') AS ws FROM tgt)),
-    c_r AS (SELECT bucket, count(*) AS c_r FROM raw_f GROUP BY 1),
+      FROM (SELECT list_filter(string_split(text, ' '), x -> x != '') AS ws
+            FROM tgt)),
+    c_r AS (SELECT bucket, sum(n_occ) AS c_r FROM docb GROUP BY 1),
     c_t AS (SELECT bucket, count(*) AS c_t FROM tgt_f GROUP BY 1),
     n_r AS (SELECT sum(c_r)::double AS n_r FROM c_r),
-    n_t AS (SELECT sum(c_t)::double AS n_t FROM c_t),
+    n_t AS (SELECT CASE WHEN sum(c_t) IS NULL THEN error('dsir: empty target slice')
+                        ELSE sum(c_t)::double END AS n_t FROM c_t),
     ratio AS (
       SELECT bucket,
              ln((coalesce(c_t, 0) + {alpha}) / (n_t + {alpha * buckets}))
              - ln((c_r + {alpha}) / (n_r + {alpha * buckets})) AS logratio
       FROM c_r LEFT JOIN c_t USING (bucket) CROSS JOIN n_r CROSS JOIN n_t),
     logw AS (
-      SELECT doc_id, sum(logratio) AS log_weight
-      FROM raw_f JOIN ratio USING (bucket) GROUP BY 1),
+      SELECT doc_id, round(sum(logratio * n_occ), 6) AS log_weight
+      FROM docb JOIN ratio USING (bucket) GROUP BY 1),
     keyed AS (
       SELECT doc_id, log_weight,
-             log_weight - ln(-ln({u})) AS gumbel_key
+             round(log_weight - ln(-ln({u})), 6) AS gumbel_key
       FROM logw)
-    SELECT doc_id, round(log_weight, 6) AS log_weight,
-           round(gumbel_key, 6) AS gumbel_key
-    FROM keyed ORDER BY gumbel_key DESC LIMIT {k}
+    SELECT doc_id, log_weight, gumbel_key
+    FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT {k}
     """

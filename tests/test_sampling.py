@@ -114,3 +114,35 @@ def test_dsir_orientation_and_determinism(spark):
         for r in sampling.dsir_select(corpus.repartition(7), target, k=5).collect()
     )
     assert picked == again
+
+
+def test_dsir_empty_and_padded_docs_never_selected(spark):
+    """Review finding: split('', ' ') is [''] in both engines, so without
+    the empty-token filter an empty doc mints one md5('') feature and its
+    near-zero summed log-ratio OUT-RANKS real in-domain docs. Empty and
+    whitespace-padded docs must contribute no phantom features."""
+    target = spark.createDataFrame([("alpha beta gamma",)], "text string")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "   "), (4, "alpha  beta")],
+        "doc_id bigint, text string",
+    )
+    sel = sampling.dsir_select(corpus, target, k=4).collect()
+    picked = sorted(r.doc_id for r in sel)
+    assert picked == [1, 4]  # featureless docs 2/3 cannot be selected
+    # doc 4's double space must not inject an '' unigram: its features
+    # are exactly {alpha, beta, 'alpha beta'}, all target-supported
+    by_id = {r.doc_id: r.log_weight for r in sel}
+    assert by_id[4] > by_id[1] - 10  # sane magnitude, no phantom penalty
+
+
+def test_dsir_empty_target_fails_fast(spark):
+    """Review finding: an empty target slice made every weight NULL and
+    the top-k arbitrary; it must raise at execution instead."""
+    import pytest as _pytest
+
+    target = spark.createDataFrame([], "text string")
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id bigint, text string"
+    )
+    with _pytest.raises(Exception, match="empty target"):
+        sampling.dsir_select(corpus, target, k=1).collect()
