@@ -68,6 +68,36 @@ def deterministic_split(
     return df.withColumn("split", expr)
 
 
+def cluster_aware_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """deterministic_split with the eval-leak guarantee near-dups break:
+    every member of a near-dup cluster (connected component of `pairs`,
+    e.g. MinHash output) draws its split from the CLUSTER representative's
+    id, so a train doc can never have a near-copy in val/test (the
+    leakage Lee et al. arXiv:2107.06499 measure in deduplicated-vs-not
+    LMs). Unpaired docs draw from their own id — identical to
+    deterministic_split. One left join of the corpus against the label
+    frame (the duplicate mass only); the draw stays scan-speed."""
+    from ai_service_ocr_grading_handler_spark.operators.dedup import (
+        connected_components,
+    )
+
+    labels = connected_components(pairs).select(
+        F.col("id").alias(id_col), F.col("comp").alias("_split_key")
+    )
+    keyed = df.join(labels, id_col, "left").withColumn(
+        "_split_key", F.coalesce("_split_key", F.col(id_col))
+    )
+    return deterministic_split(keyed, weights, id_col="_split_key", salt=salt).drop(
+        "_split_key"
+    )
+
+
 def mix_sources(
     df: DataFrame,
     rates: dict[str, float],

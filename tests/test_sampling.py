@@ -146,3 +146,46 @@ def test_dsir_empty_target_fails_fast(spark):
     )
     with _pytest.raises(Exception, match="empty target"):
         sampling.dsir_select(corpus, target, k=1).collect()
+
+
+def test_cluster_aware_split_keeps_neardups_together(spark):
+    """Every member of a near-dup cluster lands in the SAME split (the
+    eval-leakage guarantee); unpaired docs split exactly like
+    deterministic_split; proportions still hold; DuckDB twin agrees on
+    the clustered assignment rule."""
+    import duckdb as _duck
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id bigint, text string"
+    )
+    # 30 clusters of 3 consecutive ids
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 90, 3)]
+        + [(i + 1, i + 2) for i in range(0, 90, 3)],
+        "a_id bigint, b_id bigint",
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = sampling.cluster_aware_split(docs, pairs, w).collect()
+    split = {r.doc_id: r.split for r in out}
+    for base in range(0, 90, 3):
+        assert split[base] == split[base + 1] == split[base + 2]
+    # unpaired docs match plain deterministic_split
+    plain = {
+        r.doc_id: r.split
+        for r in sampling.deterministic_split(docs, w).collect()
+    }
+    for i in range(90, 200):
+        assert split[i] == plain[i]
+    # DuckDB twin of the assignment rule: draw on min-reachable id
+    con = _duck.connect()
+    con.execute("create table d as select unnest(range(200)) as doc_id")
+    # clustered region: representative = floor-to-3 id
+    got = dict(
+        con.execute(
+            f"select doc_id, case when {sampling.hash_frac_duck('(doc_id - (doc_id % 3))', 'split')} < 0.8 then 'train' "
+            f"when {sampling.hash_frac_duck('(doc_id - (doc_id % 3))', 'split')} < 0.9 then 'val' else 'test' end "
+            "from d where doc_id < 90"
+        ).fetchall()
+    )
+    for i in range(90):
+        assert split[i] == got[i]
