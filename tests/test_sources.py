@@ -472,3 +472,75 @@ def test_warc_scanner_chunk_boundary_invariance():
         assert scan(chunks) == want
 
     run()
+
+
+def _http_no_ctype(status: int, body: bytes, cenc: str | None = None) -> bytes:
+    enc = f"Content-Encoding: {cenc}\r\n" if cenc else ""
+    return (
+        f"HTTP/1.1 {status} X\r\n{enc}Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def test_warc_drop_telemetry(spark, tmp_path):
+    """Round-4 verdict item: every rejected record increments a per-reason
+    accumulator — at 100 TB the loss rate is a metric, not a log grep.
+    One archive plants every drop reason; `last_warc_drop_metrics()` must
+    account for each, and the no-Content-Type HTML sniff must keep markup
+    while dropping binary (round-4 advice: binary bodies served without a
+    Content-Type used to be ingested as html rows)."""
+    import gzip
+
+    from ai_service_ocr_grading_handler_spark.sources import warc
+
+    html = b"<html><body><p>" + b"kept words " * 20 + b"</p></body></html>"
+    recs = [
+        # kept: declared html
+        _warc_record("response", "https://k.example/1", "2024-05-06T07:08:09Z",
+                     _http(200, "text/html", html)),
+        # kept: NO Content-Type but sniffs as markup (leading whitespace + '<')
+        _warc_record("response", "https://k.example/2", "2024-05-06T07:08:09Z",
+                     _http_no_ctype(200, b"  \r\n" + html)),
+        # non_response_record x2
+        _warc_record("request", "https://d.example/1", "2024-05-06T07:08:09Z",
+                     b"GET / HTTP/1.1\r\n\r\n"),
+        _warc_record("revisit", "https://d.example/1", "2024-05-06T07:08:09Z", b""),
+        # non_200_status
+        _warc_record("response", "https://d.example/404", "2024-05-06T07:08:09Z",
+                     _http(404, "text/html", b"<html>gone</html>")),
+        # non_html_content_type
+        _warc_record("response", "https://d.example/img", "2024-05-06T07:08:09Z",
+                     _http(200, "image/png", b"\x89PNGnotreally")),
+        # unsniffable_missing_content_type: binary body, no Content-Type
+        _warc_record("response", "https://d.example/bin", "2024-05-06T07:08:09Z",
+                     _http_no_ctype(200, b"\x89PNG\r\n\x1a\nbinary")),
+        # undecodable_content_encoding: brotli (no codec in this runtime)
+        _warc_record("response", "https://d.example/br", "2024-05-06T07:08:09Z",
+                     _http_no_ctype(200, b"\x00\x11br-bytes", cenc="br")),
+    ]
+    members = [gzip.compress(r) for r in recs]
+    # corrupt_gzip_member: a mangled member mid-archive (resynced past)
+    members.insert(3, b"\x1f\x8b\x08garbage-member-bytes")
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "seg.warc.gz").write_bytes(b"".join(members))
+    # early_stream_stop: a raw archive whose record boundary is junk
+    (d / "junk.warc").write_bytes(
+        _warc_record("response", "https://j.example/1", "2024-05-06T07:08:09Z",
+                     _http(200, "text/html", html))
+        + b"JUNK-BETWEEN-RECORDS"
+    )
+
+    pages = warc.read_warc_pages(spark, str(d))
+    urls = sorted(r.url for r in pages.collect())
+    assert urls == [
+        "https://j.example/1", "https://k.example/1", "https://k.example/2",
+    ]
+    m = warc.last_warc_drop_metrics()
+    assert m["non_response_record"] == 2
+    assert m["non_200_status"] == 1
+    assert m["non_html_content_type"] == 1
+    assert m["unsniffable_missing_content_type"] == 1
+    assert m["undecodable_content_encoding"] == 1
+    assert m["corrupt_gzip_member"] == 1
+    assert m["early_stream_stop"] == 1
+    assert m["invocation"] >= 1
