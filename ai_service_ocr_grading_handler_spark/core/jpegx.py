@@ -12,12 +12,18 @@ markers) -> dequantize -> 8x8 IDCT -> chroma upsample -> YCbCr->RGB.
 Scope (documented contract; ValueError for corrupt data,
 NotImplementedError beyond the contract):
 - baseline sequential DCT (SOF0), 8-bit precision, Huffman coding;
+  extended sequential (SOF1) accepted (same entropy coding at 8-bit);
+- PROGRESSIVE DCT (SOF2, round 5): spectral selection and successive
+  approximation, including inter-scan DHT/DRI redefinition, EOB runs,
+  and the T.81 G.2 AC-refinement correction-bit algorithm — a large
+  share of real web JPEGs are progressive, so the Common-Crawl
+  multimodal path needs it (verified against an independent test-only
+  progressive encoder mirroring libjpeg's jcphuff);
 - 1-component grayscale and 3-component YCbCr with any sampling factors
   up to 4 (4:4:4, 4:2:2, 4:2:0 all covered by the generic h/v path);
-- restart intervals (DRI + RST0-7);
-- NOT: progressive (SOF2), extended sequential (SOF1) is accepted (same
-  entropy coding at 8-bit), arithmetic coding (SOF9+), hierarchical,
-  12-bit, 4-component CMYK/Adobe.
+- restart intervals (DRI + RST0-7), 0xFF fill bytes before markers;
+- NOT: arithmetic coding (SOF9+), hierarchical, lossless, 12-bit,
+  4-component CMYK/Adobe.
 
 Output convention matches `pngx.decode_png`: (width, height, "RGB",
 raw RGB24 bytes) — grayscale is replicated to RGB like PIL convert("RGB").
@@ -192,6 +198,11 @@ def _split_scan(data: bytes, start: int) -> tuple[list[bytes], int]:
         if nxt == 0x00:
             cur.append(0xFF)
             i += 2
+        elif nxt == 0xFF:
+            # spec-legal fill: runs of 0xFF may pad before ANY marker
+            # (including RSTn) — consume the leading fill byte and
+            # reclassify, instead of truncating the scan (review finding)
+            i += 1
         elif 0xD0 <= nxt <= 0xD7:  # restart marker
             segments.append(bytes(cur))
             cur = bytearray()
@@ -212,12 +223,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
     huff_ac: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None  # (width, height, [(comp_id, h, v, tq)])
+    progressive = False
+    coef_store = None  # per-comp per-block zigzag coefficient lists
+    scans_seen = 0
     i = 2
     n = len(data)
     while i + 4 <= n:
         if data[i] != 0xFF:
             raise ValueError(f"expected marker at byte {i}")
         marker = data[i + 1]
+        if marker == 0xFF:  # fill byte run before a marker (spec-legal)
+            i += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
@@ -255,7 +272,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
                 table = _HuffTable(bits, bytes(body[j : j + nvals]))
                 j += nvals
                 (huff_dc if tc == 0 else huff_ac)[th] = table
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 prog.
             if len(body) < 6:
                 raise ValueError("truncated SOF segment")
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -277,9 +294,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
             if width * height > _MAX_PIXELS:
                 raise ValueError("JPEG frame exceeds decode size bound")
             frame = (width, height, comps)
-        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
-            if marker in (0xC2,):
-                raise NotImplementedError("progressive JPEG (SOF2) unsupported")
+            progressive = marker == 0xC2
+        elif marker == 0xC3 or 0xC5 <= marker <= 0xCF and marker != 0xC8:
             raise NotImplementedError(f"SOF marker 0x{marker:02X} unsupported")
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
@@ -288,12 +304,27 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
-            return _decode_scan(
-                data, i + 2 + seg_len, body, frame, qt, huff_dc, huff_ac,
+            if not progressive:
+                return _decode_scan(
+                    data, i + 2 + seg_len, body, frame, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            # progressive: each scan deposits (partial) coefficients into
+            # the persistent per-block store; rendering happens at EOI
+            if coef_store is None:
+                coef_store = _init_coef_store(frame)
+            segments, end = _split_scan(data, i + 2 + seg_len)
+            _decode_progressive_scan(
+                body, segments, frame, coef_store, huff_dc, huff_ac,
                 restart_interval,
             )
+            scans_seen += 1
+            i = end
+            continue
         # APPn/COM/others: skip
         i += 2 + seg_len
+    if progressive and scans_seen:
+        return _render_progressive(frame, qt, coef_store)
     raise ValueError("no scan data in JPEG")
 
 
@@ -374,7 +405,14 @@ def _decode_scan(
                             )
             mcu_count += 1
 
-    if len(comps) == 1:
+    return _planes_to_rgb(width, height, planes, hmax, vmax)
+
+
+def _planes_to_rgb(width, height, planes, hmax, vmax):
+    """Shared render tail: per-component sample planes -> (w, h, "RGB",
+    bytes) with chroma (and, where legal, luma) upsampling + YCbCr->RGB.
+    Used by both the baseline scan decoder and the progressive renderer."""
+    if len(planes) == 1:
         plane, pw, _, _ = planes[0]
         rgb = bytearray(width * height * 3)
         for y in range(height):
@@ -409,3 +447,269 @@ def _decode_scan(
             rgb[o + 2] = 0 if b < 0 else 255 if b > 255 else b
             o += 3
     return width, height, "RGB", bytes(rgb)
+
+
+# --- progressive (SOF2) -----------------------------------------------------
+#
+# Progressive JPEG spreads each block's 64 coefficients over MULTIPLE scans:
+# spectral selection (a scan carries only the zigzag band [Ss, Se]) and/or
+# successive approximation (a first scan carries coefficients divided by
+# 2^Al, later scans refine one bit at a time). Decoding therefore buffers
+# integer coefficients per block (zigzag order, unquantized) across scans
+# and renders once, at EOI, through the same dequantize/IDCT/upsample tail
+# as the baseline path. The AC-refinement correction-bit algorithm follows
+# ITU-T T.81 G.2 (the same control flow as libjpeg's decode_mcu_AC_refine).
+
+
+def _frame_geometry(frame):
+    """(hmax, vmax, mcus_x, mcus_y) for a parsed SOF frame."""
+    width, height, comps = frame
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    return hmax, vmax, -(-width // (8 * hmax)), -(-height // (8 * vmax))
+
+
+def _init_coef_store(frame):
+    """Per component: a list of per-block 64-int zigzag coefficient
+    arrays, sized to the MCU-padded grid (blocks_w = mcus_x*h)."""
+    _, _, mcus_x, mcus_y = _frame_geometry(frame)
+    store = []
+    for _, h, v, _ in frame[2]:
+        store.append([[0] * 64 for _ in range(mcus_x * h * mcus_y * v)])
+    return store
+
+
+def _decode_progressive_scan(
+    sos_body, segments, frame, coef_store, huff_dc, huff_ac, restart_interval
+):
+    width, height, comps = frame
+    if not sos_body:
+        raise ValueError("empty SOS segment")
+    ns = sos_body[0]
+    if len(sos_body) < 1 + 2 * ns + 3:
+        raise ValueError("truncated SOS segment")
+    ss, se = sos_body[1 + 2 * ns], sos_body[2 + 2 * ns]
+    ahal = sos_body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 15
+    if ss > se or se > 63:
+        raise ValueError(f"bad spectral band [{ss}, {se}]")
+    by_id = {cid: ci for ci, (cid, _, _, _) in enumerate(comps)}
+    scan = []  # (ci, dc_table or None, ac_table or None)
+    for k in range(ns):
+        cs, tdta = sos_body[1 + 2 * k], sos_body[2 + 2 * k]
+        if cs not in by_id:
+            raise ValueError(f"scan references unknown component {cs}")
+        td, ta = tdta >> 4, tdta & 15
+        dct = act = None
+        if ss == 0:
+            if ah == 0:
+                if td not in huff_dc:
+                    raise ValueError("scan references missing Huffman table")
+                dct = huff_dc[td]
+        else:
+            # AC first AND refinement scans both entropy-decode (r, s)
+            if ta not in huff_ac:
+                raise ValueError("scan references missing Huffman table")
+            act = huff_ac[ta]
+        scan.append((by_id[cs], dct, act))
+
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    reader = _BitReader(segments)
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan with nonzero Se")
+        _progressive_dc(
+            scan, comps, coef_store, reader, mcus_x, mcus_y,
+            restart_interval, ns, ah, al, width, height, hmax, vmax,
+        )
+    else:
+        if ns != 1:
+            raise ValueError("interleaved AC scan is illegal in progressive")
+        _progressive_ac(
+            scan[0], comps, coef_store, reader, mcus_x,
+            restart_interval, ss, se, ah, al, width, height, hmax, vmax,
+        )
+
+
+def _comp_block_span(width, height, h, v, hmax, vmax):
+    """Non-interleaved scans cover the component's OWN block grid (ceil of
+    its true sample dimensions), not the MCU-padded grid."""
+    cw = -(-width * h // hmax)
+    ch = -(-height * v // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _progressive_dc(
+    scan, comps, coef_store, reader, mcus_x, mcus_y, restart_interval,
+    ns, ah, al, width, height, hmax, vmax,
+):
+    preds = [0] * len(scan)
+
+    def one_block(si, block_idx):
+        ci, dct, _ = scan[si]
+        coef = coef_store[ci][block_idx]
+        if ah == 0:
+            t = reader.decode_huff(dct)
+            if t > 11:
+                raise ValueError(f"bad DC category {t}")
+            preds[si] += reader.receive_extend(t)
+            coef[0] = preds[si] << al
+        else:
+            if reader.read_bit():
+                coef[0] |= 1 << al
+
+    if ns > 1:
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.next_segment()
+                    preds[:] = [0] * len(scan)
+                for si, (ci, _, _) in enumerate(scan):
+                    _, h, v, _ = comps[ci]
+                    for by in range(v):
+                        for bx in range(h):
+                            one_block(
+                                si, (my * v + by) * mcus_x * h + mx * h + bx
+                            )
+                unit += 1
+    else:
+        ci = scan[0][0]
+        _, h, v, _ = comps[ci]
+        bw, bh = _comp_block_span(width, height, h, v, hmax, vmax)
+        blocks_w = mcus_x * h
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    reader.next_segment()
+                    preds[:] = [0] * len(scan)
+                one_block(0, by * blocks_w + bx)
+                unit += 1
+
+
+def _progressive_ac(
+    scan_comp, comps, coef_store, reader, mcus_x, restart_interval,
+    ss, se, ah, al, width, height, hmax, vmax,
+):
+    ci, _, act = scan_comp
+    _, h, v, _ = comps[ci]
+    bw, bh = _comp_block_span(width, height, h, v, hmax, vmax)
+    blocks_w = mcus_x * h
+    eobrun = 0
+    unit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader.next_segment()
+                eobrun = 0
+            unit += 1
+            coef = coef_store[ci][by * blocks_w + bx]
+            if ah == 0:
+                # first scan for this band: zero history at this level
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode_huff(act)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        k += 16
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC coefficient index overrun")
+                    coef[k] = reader.receive_extend(s) << al
+                    k += 1
+            else:
+                eobrun = _refine_ac_block(
+                    coef, reader, act, ss, se, al, eobrun
+                )
+
+
+def _refine_ac_block(coef, reader, act, ss, se, al, eobrun):
+    """T.81 G.2 AC successive-approximation refinement for ONE block:
+    nonzero-history coefficients take a correction bit whenever they are
+    passed over; zero-history coefficients may newly appear with
+    magnitude 1 at this bit position."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(act)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    # EOB run INCLUDES the current block (T.81 G.2 /
+                    # libjpeg): the tail below still consumes this
+                    # block's remaining correction bits, then decrements
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # r == 15: pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude in AC scan")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    if reader.read_bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] > 0 else m1
+                else:
+                    if r == 0:
+                        if newval:
+                            coef[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                if reader.read_bit() and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _render_progressive(frame, qt, coef_store):
+    width, height, comps = frame
+    hmax, vmax, mcus_x, mcus_y = _frame_geometry(frame)
+    planes = []
+    for ci, (cid, h, v, tq_id) in enumerate(comps):
+        if tq_id not in qt:
+            raise ValueError(f"missing quantization table {tq_id}")
+        q = qt[tq_id]
+        pw, ph = mcus_x * h * 8, mcus_y * v * 8
+        plane = bytearray(pw * ph)
+        blocks_w = mcus_x * h
+        for b, cof in enumerate(coef_store[ci]):
+            coefq = [0.0] * 64
+            nonzero = False
+            for k in range(64):
+                cv = cof[k]
+                if cv:
+                    coefq[ZIGZAG[k]] = cv * q[k]
+                    nonzero = True
+            pix = (
+                _idct_block(coefq)
+                if nonzero
+                else [128] * 64
+            )
+            bx, by = b % blocks_w, b // blocks_w
+            x0, y0 = bx * 8, by * 8
+            for row in range(8):
+                off = (y0 + row) * pw + x0
+                plane[off : off + 8] = bytes(pix[row * 8 : row * 8 + 8])
+        planes.append((plane, pw, h, v))
+    return _planes_to_rgb(width, height, planes, hmax, vmax)

@@ -209,6 +209,267 @@ def _gradient_rgb(width, height):
     return bytes(rgb)
 
 
+# --- test-only PROGRESSIVE encoder -------------------------------------------
+# Emits a real SOF2 scan script: interleaved DC first (Al), per-component
+# AC-first band scans (Al), then DC and AC refinement scans down to bit 0 —
+# exercising spectral selection, successive approximation, EOB runs and
+# (optionally) restart markers. Independent transform direction, like the
+# baseline encoder above.
+
+# extended AC table for progressive: all EOBRUN symbols (r<<4)|0 plus the
+# standard run/size pairs, every code 8 bits (176 <= 256 capacity)
+_ACP_SYMBOLS = [(r << 4) for r in range(16)] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_ACP_BITS = [0] * 16
+_ACP_BITS[7] = len(_ACP_SYMBOLS)
+_ACP_VALS = bytes(_ACP_SYMBOLS)
+_ACP_CODE = {v: (i, 8) for i, v in enumerate(_ACP_SYMBOLS)}
+
+
+class _ProgScanWriter:
+    """BitWriter + EOB-run and buffered-correction-bit state for one scan."""
+
+    def __init__(self, out):
+        self.out = out
+        self.w = _BitWriter()
+        self.eobrun = 0
+        self.corr = []  # correction bits pending behind the next symbol
+        self.rst = 0
+
+    def sym(self, rs):
+        code, ln = _ACP_CODE[rs]
+        self.w.write(code, ln)
+
+    def flush_eobrun(self):
+        if self.eobrun:
+            n = self.eobrun
+            r = n.bit_length() - 1
+            self.sym(r << 4)
+            if r:
+                self.w.write(n - (1 << r), r)
+            self.eobrun = 0
+        for b in self.corr:
+            self.w.write(b, 1)
+        self.corr.clear()
+
+    def restart(self):
+        self.flush_eobrun()
+        self.w.flush()
+        self.out += self.w.out
+        self.out += bytes([0xFF, 0xD0 + self.rst])
+        self.rst = (self.rst + 1) % 8
+        self.w = _BitWriter()
+
+    def finish(self):
+        self.flush_eobrun()
+        self.w.flush()
+        self.out += self.w.out
+
+
+def _comp_span(width, height, h, v, hmax, vmax):
+    cw, ch = -(-width * h // hmax), -(-height * v // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _ac_first_block(sw, vals, ss, se, al):
+    """vals: zigzag-order full coefficients for one block."""
+    band = [(abs(vals[k]) >> al) * (1 if vals[k] >= 0 else -1)
+            for k in range(ss, se + 1)]
+    last = -1
+    for idx, t in enumerate(band):
+        if t:
+            last = idx
+    if last < 0:
+        sw.eobrun += 1
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+        return
+    sw.flush_eobrun()
+    run = 0
+    for idx in range(last + 1):
+        t = band[idx]
+        if t == 0:
+            run += 1
+            continue
+        while run >= 16:
+            sw.sym(0xF0)
+            run -= 16
+        s = abs(t).bit_length()
+        sw.sym((run << 4) | s)
+        sw.w.write(t if t >= 0 else t + (1 << s) - 1, s)
+        run = 0
+    if last < se - ss:
+        sw.eobrun += 1
+
+
+def _ac_refine_block(sw, vals, ss, se, al):
+    # mirrors libjpeg jcphuff encode_mcu_AC_refine exactly (the decoder
+    # mirrors jdphuff): ZRLs are emitted at ANY nonzero coefficient while
+    # r > 15 within the EOB span — including history-nonzero ones — and
+    # each emitted symbol flushes only the correction bits buffered since
+    # the previous symbol
+    band = [abs(vals[k]) >> al for k in range(ss, se + 1)]
+    eob_idx = -1  # last newly-nonzero (magnitude exactly 1) position
+    for idx, t in enumerate(band):
+        if t == 1:
+            eob_idx = idx
+    r = 0
+    pend = []  # correction bits since the last emitted symbol in THIS block
+    for idx in range(len(band)):
+        t = band[idx]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and idx <= eob_idx:
+            sw.flush_eobrun()
+            sw.sym(0xF0)
+            r -= 16
+            for b in pend:
+                sw.w.write(b, 1)
+            pend = []
+        if t > 1:  # history-nonzero: correction bit, run untouched
+            pend.append(t & 1)
+            continue
+        # newly nonzero (t == 1)
+        sw.flush_eobrun()
+        sw.sym((r << 4) | 1)
+        sw.w.write(1 if vals[ss + idx] >= 0 else 0, 1)
+        for b in pend:
+            sw.w.write(b, 1)
+        pend = []
+        r = 0
+    if r > 0 or pend:
+        sw.eobrun += 1
+        sw.corr.extend(pend)
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+
+
+def encode_jpeg_progressive(width, height, planes, sampling, restart=0, split=6):
+    """Progressive (SOF2) encoder over the same q=1 coefficients the
+    baseline encoder produces. Scan script: DC first (Al=1, interleaved) ->
+    AC first per comp in bands [1, split], [split+1, 63] (Al=1) -> DC
+    refine (Al=0) -> AC refine per comp, same bands (Ah=1, Al=0)."""
+    ncomp = len(planes)
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
+    # per-comp zigzag coefficients over the MCU-padded block grid
+    coefs = []
+    for (plane, pw, ph), (h, v) in zip(planes, sampling):
+        blocks = []
+        for by in range(mcus_y * v):
+            for bx in range(mcus_x * h):
+                raster = [
+                    int(round(c))
+                    for c in _fdct(_plane_blocks(plane, pw, ph, bx * 8, by * 8))
+                ]
+                blocks.append([raster[jpegx.ZIGZAG[k]] for k in range(64)])
+        coefs.append(blocks)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci, (h, v) in enumerate(sampling):
+        sof += struct.pack(">BBB", ci + 1, (h << 4) | v, 0)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, (bits, vals) in ((0, (_DC_BITS, _DC_VALS)), (1, (_ACP_BITS, _ACP_VALS))):
+        body = bytes([tc << 4]) + bytes(bits) + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # --- DC first: interleaved, Al=1
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    sw = _ProgScanWriter(out)
+    preds = [0] * ncomp
+    unit = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and unit and unit % restart == 0:
+                sw.restart()
+                preds = [0] * ncomp
+            for ci, (h, v) in enumerate(sampling):
+                for by in range(v):
+                    for bx in range(h):
+                        blk = (my * v + by) * mcus_x * h + mx * h + bx
+                        t = coefs[ci][blk][0] >> 1  # arithmetic, Al=1
+                        diff = t - preds[ci]
+                        preds[ci] = t
+                        s = abs(diff).bit_length()
+                        code, ln = _DC_CODE[s]
+                        sw.w.write(code, ln)
+                        if s:
+                            sw.w.write(
+                                diff if diff >= 0 else diff + (1 << s) - 1, s
+                            )
+            unit += 1
+    sw.finish()
+
+    # --- AC first scans: per comp, two bands, Al=1
+    for ss, se in ((1, split), (split + 1, 63)):
+        for ci, (h, v) in enumerate(sampling):
+            out += sos_header([ci + 1], ss, se, 0, 1)
+            sw = _ProgScanWriter(out)
+            bw, bh = _comp_span(width, height, h, v, hmax, vmax)
+            unit = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart and unit and unit % restart == 0:
+                        sw.restart()
+                    unit += 1
+                    _ac_first_block(
+                        sw, coefs[ci][by * mcus_x * h + bx], ss, se, 1
+                    )
+            sw.finish()
+
+    # --- DC refine: interleaved, Al=0
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    sw = _ProgScanWriter(out)
+    unit = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and unit and unit % restart == 0:
+                sw.restart()
+            for ci, (h, v) in enumerate(sampling):
+                for by in range(v):
+                    for bx in range(h):
+                        blk = (my * v + by) * mcus_x * h + mx * h + bx
+                        sw.w.write(coefs[ci][blk][0] & 1, 1)
+            unit += 1
+    sw.finish()
+
+    # --- AC refine scans: per comp, same bands, Ah=1 -> Al=0
+    for ss, se in ((1, split), (split + 1, 63)):
+        for ci, (h, v) in enumerate(sampling):
+            out += sos_header([ci + 1], ss, se, 1, 0)
+            sw = _ProgScanWriter(out)
+            bw, bh = _comp_span(width, height, h, v, hmax, vmax)
+            unit = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart and unit and unit % restart == 0:
+                        sw.restart()
+                    unit += 1
+                    _ac_refine_block(
+                        sw, coefs[ci][by * mcus_x * h + bx], ss, se, 0
+                    )
+            sw.finish()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- tests --------------------------------------------------------------------
 
 
@@ -296,13 +557,34 @@ def test_restart_intervals_decode_identically():
     assert jpegx.decode_jpeg(plain) == jpegx.decode_jpeg(rst)
 
 
+def test_fill_bytes_before_markers_decode_identically():
+    """JPEG permits runs of 0xFF fill bytes before ANY marker (including
+    RSTn and EOI). The old scan-splitter classified 0xFF 0xFF as
+    end-of-scan and truncated mid-stream (round-4 advice)."""
+    width, height = 32, 8
+    plane = bytes((x * 31 + y * 7) % 256 for y in range(height) for x in range(width))
+    rst = encode_jpeg(width, height, [(plane, width, height)], [(1, 1)], restart=1)
+    # pad every restart marker and the EOI with fill bytes
+    padded = rst
+    for m in (b"\xff\xd0", b"\xff\xd1", b"\xff\xd2", b"\xff\xd9"):
+        padded = padded.replace(m, b"\xff\xff\xff" + m)
+    assert padded != rst
+    assert jpegx.decode_jpeg(padded) == jpegx.decode_jpeg(rst)
+
+
 def test_progressive_and_garbage_are_typed():
     width, height = 8, 8
     plane = bytes(range(64))
     good = encode_jpeg(width, height, [(plane, width, height)], [(1, 1)])
+    # flipping SOF0 -> SOF2 leaves a BASELINE scan header (Ss=0, Se=63):
+    # as a progressive stream that is a malformed DC scan — typed
+    # ValueError, no longer NotImplementedError (SOF2 is now decoded)
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         jpegx.decode_jpeg(prog)
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)  # SOF9 arithmetic
+    with pytest.raises(NotImplementedError):
+        jpegx.decode_jpeg(arith)
     with pytest.raises(ValueError):
         jpegx.decode_jpeg(b"not a jpeg")
     with pytest.raises(ValueError):
@@ -378,3 +660,53 @@ def test_truncated_segments_raise_value_error():
     bad_sos = good[: sos_at + 2] + b"\x00\x02" + good[sos_at + 4 :]
     with pytest.raises((ValueError, NotImplementedError)):
         jpegx.decode_jpeg(bad_sos)
+
+
+def test_progressive_grayscale_matches_baseline():
+    """SOF2 spectral selection + successive approximation: the progressive
+    scan script encodes the SAME q=1 coefficients as the baseline encoder,
+    so decoded pixels must be IDENTICAL to the baseline decode."""
+    width, height = 24, 17
+    plane = bytes((x * 13 + y * 5) % 256 for y in range(height) for x in range(width))
+    base = encode_jpeg(width, height, [(plane, width, height)], [(1, 1)])
+    prog = encode_jpeg_progressive(width, height, [(plane, width, height)], [(1, 1)])
+    assert prog[2:4] != base[2:4] or b"\xff\xc2" in prog  # really SOF2
+    assert jpegx.decode_jpeg(prog) == jpegx.decode_jpeg(base)
+
+
+def test_progressive_color_420_matches_baseline():
+    width, height = 19, 14
+    rgb = _gradient_rgb(width, height)
+    y, cb, cr = _rgb_to_ycbcr(rgb, width, height)
+    cbs, cw, ch = _subsample(cb, width, height)
+    crs, _, _ = _subsample(cr, width, height)
+    planes = [(y, width, height), (cbs, cw, ch), (crs, cw, ch)]
+    sampling = [(2, 2), (1, 1), (1, 1)]
+    base = encode_jpeg(width, height, planes, sampling)
+    prog = encode_jpeg_progressive(width, height, planes, sampling)
+    assert jpegx.decode_jpeg(prog) == jpegx.decode_jpeg(base)
+
+
+def test_progressive_restart_intervals_match():
+    width, height = 32, 16
+    plane = bytes((x * 7 + y * 11) % 256 for y in range(height) for x in range(width))
+    plain = encode_jpeg_progressive(
+        width, height, [(plane, width, height)], [(1, 1)]
+    )
+    rst = encode_jpeg_progressive(
+        width, height, [(plane, width, height)], [(1, 1)], restart=1
+    )
+    assert any(bytes([0xFF, 0xD0 + i]) in rst for i in range(8))
+    assert jpegx.decode_jpeg(rst) == jpegx.decode_jpeg(plain)
+
+
+def test_progressive_flat_block_eob_runs():
+    """A mostly-flat image makes every AC band empty -> long EOB runs
+    across blocks (the r>0 EOBRUN path) must decode correctly."""
+    width, height = 64, 24
+    plane = bytearray([200] * (width * height))
+    plane[0] = 10  # one perturbed pixel so scan 1 is not fully empty
+    plane = bytes(plane)
+    base = encode_jpeg(width, height, [(plane, width, height)], [(1, 1)])
+    prog = encode_jpeg_progressive(width, height, [(plane, width, height)], [(1, 1)])
+    assert jpegx.decode_jpeg(prog) == jpegx.decode_jpeg(base)
