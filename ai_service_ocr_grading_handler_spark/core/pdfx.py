@@ -258,6 +258,20 @@ def _png_predictor(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
     return bytes(out)
 
 
+_STREAM_KW_RE = re.compile(rb"stream\r?\n")
+
+
+def _stream_dict(body: bytes) -> bytes:
+    """The stream-DICT prefix of an object body: everything before the
+    `stream` keyword. Dict-key regexes must search THIS, never the whole
+    body — raw stream payload bytes can legally contain b'/Filter',
+    b'/DecodeParms', or b'/Type /ObjStm' and would spoof dict entries,
+    failing or mis-decoding an otherwise valid document (review
+    finding)."""
+    m = _STREAM_KW_RE.search(body)
+    return body[: m.start()] if m else body
+
+
 def _decode_parms(body: bytes, n_filters: int) -> list[dict[str, int]]:
     """Per-filter parameter dicts (ints only: Predictor/Columns/Colors/
     BitsPerComponent/EarlyChange), aligned with the /Filter chain."""
@@ -278,7 +292,9 @@ def _decode_parms(body: bytes, n_filters: int) -> list[dict[str, int]]:
 
 def decode_stream(body: bytes, data: bytes) -> bytes:
     """Apply the stream dict's full /Filter chain (with /DecodeParms) to
-    raw stream bytes. Raw (no /Filter) streams pass through."""
+    raw stream bytes. Raw (no /Filter) streams pass through. Only the
+    dict prefix of `body` is consulted (`_stream_dict`)."""
+    body = _stream_dict(body)
     m = _FILTER_RE.search(body)
     if not m:
         if re.search(rb"/Filter\b", body):
@@ -325,14 +341,15 @@ def _expand_object_streams(objs: dict[int, bytes]) -> dict[int, bytes]:
     of the same number); per spec they cannot themselves hold streams, so
     downstream body parsing is unchanged."""
     for body in list(objs.values()):
-        if b"/ObjStm" not in body or b"/Type" not in body:
+        head = _stream_dict(body)
+        if b"/ObjStm" not in head or b"/Type" not in head:
             continue
         m = _STREAM_RE.search(body)
         if not m:
             continue
         data = decode_stream(body, m.group(1))
-        n_m = re.search(rb"/N\s+(\d+)", body)
-        first_m = re.search(rb"/First\s+(\d+)", body)
+        n_m = re.search(rb"/N\s+(\d+)", head)
+        first_m = re.search(rb"/First\s+(\d+)", head)
         if not n_m or not first_m:
             raise ValueError("object stream missing /N or /First")
         n, first = int(n_m.group(1)), int(first_m.group(1))

@@ -470,6 +470,30 @@ def test_indirect_filter_refuses_not_silently_skips():
         pdfx.extract_text_boxes(pdf)
 
 
+def test_payload_bytes_cannot_spoof_stream_dict_keys():
+    """Dict-key regexes must consult only the prefix BEFORE the `stream`
+    keyword: raw payload bytes legally containing b'/Filter ...' or
+    b'/Type /ObjStm' must neither trigger a bogus decode nor be expanded
+    as an object stream (round-4 advice)."""
+    from ai_service_ocr_grading_handler_spark.core import pdfx
+
+    # a RAW content stream whose payload embeds both spoof strings
+    payload = (
+        b"BT /F1 12 Tf 72 700 Td (spoof safe) Tj ET\n"
+        b"% /Filter /FlateDecode /DecodeParms << /Predictor 12 >>\n"
+        b"% /Type /ObjStm /N 99 /First 8\n"
+    )
+    pdf = _filtered_one_page_pdf(payload, b"")
+    assert pdfx.extract_text_boxes(pdf) == [
+        (0, 72.0, 700.0, 12.0, "spoof safe", 792.0)
+    ]
+    # decode_stream directly: the body's dict has no /Filter; the payload
+    # mention must not raise the unresolvable-/Filter refusal
+    body = b"<< /Length 9 >>\nstream\n/Filter /LZWDecode\nendstream"
+    m = pdfx._STREAM_RE.search(body)
+    assert pdfx.decode_stream(body, m.group(1)) == m.group(1)
+
+
 def test_runlength_missing_eod_is_truncation():
     from ai_service_ocr_grading_handler_spark.core import pdfx
 
