@@ -356,9 +356,22 @@ def bigram_lm_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 1.0,
+    top_k_bigrams: int | None = None,
 ) -> DataFrame:
     """(id, n_bigrams, lm_logprob): mean add-alpha bigram logprob of every
-    doc in `df` (with >= 2 words) under the model counted from `ref_df`."""
+    doc in `df` (with >= 2 words) under the model counted from `ref_df`.
+
+    `top_k_bigrams` is the KenLM-style pruning knob for 100 TB runs: keep
+    only the K highest-count bigrams (ties broken deterministically by
+    (count desc, w1, w2) — a TakeOrdered, no global sort) and let every
+    pruned bigram fall to the smoothing floor alpha/(c1 + alpha*V), i.e.
+    it scores exactly like an unseen bigram. The pruned table is then
+    small by construction, so its join gets an explicit broadcast hint —
+    the corpus-side bigram stream never shuffles for it. Unigrams are NOT
+    pruned (KenLM keeps order-1 complete too: pruning w1 would change the
+    denominator for every bigram sharing it); the unigram table is
+    reference-vocab-sized and Catalyst/AQE broadcasts it whenever it
+    fits."""
     w = words(text_col)
     refw = ref_df.select(w.alias("w"))
     uni = (
@@ -372,6 +385,10 @@ def bigram_lm_score(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c2"))
     )
+    if top_k_bigrams is not None:
+        bi = F.broadcast(
+            bi.orderBy(F.desc("c2"), "w1", "w2").limit(top_k_bigrams)
+        )
     vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
     docb = (
         df.select(F.col(id_col), w.alias("w"))
@@ -402,6 +419,7 @@ def perplexity_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 1.0,
+    top_k_bigrams: int | None = None,
 ) -> DataFrame:
     """CCNet head/middle/tail: tertile cutoffs of the (rounded) score
     distribution, attached via a 1-row broadcast crossJoin (never a
@@ -412,7 +430,7 @@ def perplexity_buckets(
     Measured (round 4, sf0.1, local[32], min-of-3): 0.84 s to train the
     reference-slice LM AND score+bucket all 5k documents — train and
     apply are one lazy plan, amortized in a single pass."""
-    scored = bigram_lm_score(df, ref_df, id_col, text_col, alpha)
+    scored = bigram_lm_score(df, ref_df, id_col, text_col, alpha, top_k_bigrams)
     cuts = scored.agg(
         F.round(
             F.expr("percentile(lm_logprob, cast(1 as double)/3)"), 6
@@ -436,11 +454,20 @@ def perplexity_buckets(
 
 
 def perplexity_buckets_duck(
-    corpus_sql: str, ref_sql: str, alpha: float = 1.0
+    corpus_sql: str, ref_sql: str, alpha: float = 1.0,
+    top_k_bigrams: int | None = None,
 ) -> str:
     """DuckDB twin of perplexity_buckets: same counts, same smoothing
     formula, same round-before-percentile discipline (quantile_cont's
-    linear interpolation at p*(n-1) matches Spark's `percentile`)."""
+    linear interpolation at p*(n-1) matches Spark's `percentile`).
+    `top_k_bigrams` mirrors the Spark-side KenLM-style pruning: identical
+    deterministic selection (count desc, w1, w2), identical smoothing
+    floor for pruned mass."""
+    prune = (
+        f" ORDER BY c2 DESC, w1, w2 LIMIT {top_k_bigrams}"
+        if top_k_bigrams is not None
+        else ""
+    )
     return f"""
     WITH corpus AS ({corpus_sql}),
     refd AS ({ref_sql}),
@@ -449,7 +476,7 @@ def perplexity_buckets_duck(
             FROM (SELECT unnest(w) AS w1 FROM refw) GROUP BY 1),
     bi AS (SELECT w[i] AS w1, w[i + 1] AS w2, count(*) AS c2
            FROM refw, unnest(generate_series(1, len(w) - 1)) AS t(i)
-           GROUP BY 1, 2),
+           GROUP BY 1, 2{prune}),
     v AS (SELECT count(*)::double AS v FROM uni),
     docw AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
     docb AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2

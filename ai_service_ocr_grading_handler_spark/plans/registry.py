@@ -434,7 +434,7 @@ def q_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_library(
     "rubric_stringify",
     f"""
     SELECT d.doc_id,
@@ -455,7 +455,7 @@ def q_rubric_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
+@register_library(
     "level_confidence",
     f"""
     SELECT doc_id,
@@ -800,7 +800,7 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _curation.cdx_index(pages, content_col="text")
 
 
-@register_library(
+@register(
     "warc_roundtrip",
     f"""
     SELECT {DUCKDB_URL_EXPR.format(id='doc_id', src='source')} AS url,
@@ -877,7 +877,7 @@ def q_exact_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_library(
+@register(
     "minhash_incremental",
     f"""
     SELECT * FROM ({_dd.minhash_lsh_duck(_dd.DUP_CORPUS_DUCK, 0.6)})
@@ -900,7 +900,7 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
-@register_library(
+@register(
     "neardup_clusters",
     f"""
     WITH RECURSIVE pairs AS ({_dd.minhash_lsh_duck(_dd.DUP_CORPUS_DUCK)}),
@@ -1202,7 +1202,7 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.sample_frames(media, every_k=3).orderBy("doc_id", "frame_idx")
 
 
-@register(
+@register_library(
     "host_skew_topk",
     f"""
     SELECT {DUCKDB_HOST_EXPR.format(id='doc_id')} AS host, count(*) AS n_pages
@@ -2858,6 +2858,27 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     ref = docs.filter(F.col("doc_id") % 10 == 0).select("text")
     return _tq.perplexity_buckets(docs, ref).orderBy("doc_id")
+
+
+@register_library(
+    "perplexity_buckets_pruned",
+    _tq.perplexity_buckets_duck(
+        "SELECT doc_id, text FROM documents",
+        "SELECT text FROM documents WHERE doc_id % 10 = 0",
+        top_k_bigrams=500,
+    )
+    + " ORDER BY doc_id",
+)
+def q_perplexity_buckets_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of CCNet scoring: the bigram table pruned to its
+    top-500 counts (KenLM-style; deterministic (count desc, w1, w2)
+    selection via TakeOrdered) with the smoothing floor absorbing pruned
+    mass, so the count-table join BROADCASTS — the corpus bigram stream
+    never shuffles for it. The DuckDB twin applies the identical pruned
+    model, value-checking scores and bucket assignment."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 10 == 0).select("text")
+    return _tq.perplexity_buckets(docs, ref, top_k_bigrams=500).orderBy("doc_id")
 
 
 _PRIORITY = [

@@ -686,6 +686,35 @@ def test_connected_components_chain_and_islands(spark):
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint directory configured, every round's plan cut
+    uses reliable `checkpoint()` — durable on cluster storage, so a lost
+    executor cannot force a full lineage recompute (round-4 verdict) —
+    and labels are identical to the localCheckpoint path. Checkpoint
+    files must actually land in the directory."""
+    import os
+
+    sc = spark.sparkContext
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "a_id bigint, b_id bigint"
+        )
+        got = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+        written = [
+            os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+        ]
+        assert written, "no reliable checkpoint files were written"
+    finally:
+        # restore the zero-config localCheckpoint path for the rest of
+        # the shared session (there is no public unset API)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+
+
 def test_connected_components_partitioning_invariant(spark):
     """Min-id labels are a fixpoint property, not an execution property:
     a repartitioned, reversed-column pair frame yields identical labels."""
@@ -768,3 +797,33 @@ def test_perplexity_buckets_orientation(spark):
     }
     assert all(out[i] == "head" for i in range(4))
     assert out[11] == "tail"
+
+
+def test_bigram_lm_pruning_floor_and_broadcast(spark):
+    """KenLM-style top-K pruning: pruned bigrams score exactly like
+    unseen ones (the smoothing floor), kept bigrams score identically to
+    the unpruned model, and the pruned count-table join is a BROADCAST
+    (the 100 TB point of pruning — the corpus bigram stream must not
+    shuffle for it).
+
+    ref = ["a b a b", "a c"]: counts c(a,b)=2, c(b,a)=1, c(a,c)=1.
+    top_k=1 keeps only (a,b). doc "a b c": lp(a,b)=ln(3/6) unchanged;
+    lp(b,c) was already unseen -> ln(1/5). doc "b a": (b,a) now pruned
+    -> floor ln((0+1)/(2+3)) = ln(1/5), not ln(2/5)."""
+    import math
+
+    ref = spark.createDataFrame([("a b a b",), ("a c",)], "text string")
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b a")], "doc_id bigint, text string"
+    )
+    out = textquality.bigram_lm_score(docs, ref, top_k_bigrams=1)
+    got = {r.doc_id: (r.n_bigrams, r.lm_logprob) for r in out.collect()}
+    assert got[1] == (2, round((math.log(3 / 6) + math.log(1 / 5)) / 2, 6))
+    assert got[2] == (1, round(math.log(1 / 5), 6))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # bucket agreement at fixture scale: with K >= the full bigram count
+    # the pruned model IS the full model
+    full = textquality.perplexity_buckets(docs, ref).collect()
+    pruned = textquality.perplexity_buckets(docs, ref, top_k_bigrams=10_000).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, pruned))

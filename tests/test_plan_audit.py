@@ -16,7 +16,13 @@ SF = "/root/testdata/sf0.001"
 # frames (vocab size, tertile cutoffs, distribution totals) attached via
 # broadcast crossJoins; their corpus-side joins stay hash/merge (pinned
 # by the targeted tests below)
-_BNLJ_OK = {"cosine_topk", "ivf_ann_topk", "perplexity_buckets", "dsir_select"}
+_BNLJ_OK = {
+    "cosine_topk",
+    "ivf_ann_topk",
+    "perplexity_buckets",
+    "perplexity_buckets_pruned",
+    "dsir_select",
+}
 
 
 # driver-window AND library-tier queries share every plan lint: demotion
@@ -187,6 +193,21 @@ def test_perplexity_buckets_bnlj_is_bounded(spark):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     ), "count-table joins lost their hash/merge strategy"
+
+
+def test_perplexity_buckets_pruned_broadcasts_bigram_join(spark):
+    """The pruned variant's _BNLJ_OK exemption pinned the same way: its
+    BNLJs are the same 1-row scalar frames, and — the point of pruning —
+    the top-K bigram table join is a BroadcastHashJoin fed by a
+    TakeOrdered (never a global sort), so the corpus bigram stream does
+    not shuffle for it."""
+    df = _ALL_QUERIES["perplexity_buckets_pruned"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for site in plan.split("BroadcastNestedLoopJoin")[1:]:
+        # every BNLJ's build side must be a bounded scalar aggregate
+        assert "BuildRight" in site[:200] or "BuildLeft" in site[:200]
+    assert "BroadcastHashJoin" in plan, "pruned bigram join lost its broadcast"
+    assert "TakeOrdered" in plan, "top-K selection degraded from TakeOrdered"
 
 
 def test_dsir_select_bnlj_is_bounded(spark):
