@@ -381,6 +381,154 @@ _ESCAPES = {
 }
 
 
+_WS = b"\x00\t\n\x0c\r "
+# EI delimited by whitespace on both sides (or stream end) — the standard
+# recovery scan real parsers use when the image dict gives no exact length
+_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)")
+# channel count per inline-image colour space (abbreviated + full names;
+# /I(ndexed) is 1 component per sample by definition)
+_CS_CHANNELS = {
+    "/G": 1, "/DeviceGray": 1, "/CalGray": 1,
+    "/RGB": 3, "/DeviceRGB": 3, "/CalRGB": 3,
+    "/CMYK": 4, "/DeviceCMYK": 4,
+    "/I": 1, "/Indexed": 1,
+}
+
+
+def _skip_inline_image(data: bytes, i: int) -> int:
+    """`data[i:]` starts just after a BI operator. Skip the inline image
+    (PDF 32000-1 §8.9.7) and return the index after its EI terminator.
+
+    Text extraction never needs the pixels, but the binary payload MUST
+    be stepped over exactly — garbage-tokenizing it corrupts the rest of
+    the page (the pre-round-5 behavior was to refuse the whole stream).
+    The data length is resolved in spec order:
+      1. /L (PDF 2.0 /Length) — exact;
+      2. unfiltered images — computed from /W /H /BPC /CS
+         (ceil(W*channels*BPC/8) * H; rows are byte-aligned);
+      3. otherwise — the whitespace-delimited EI scan every real parser
+         falls back to (filtered data without /L is inherently
+         heuristic; a payload byte run that embeds ' EI ' is
+         vanishingly rare in compressed data and unrepresentable in
+         the exact paths above).
+    Raises ValueError when no EI terminates the image (truncation)."""
+    n = len(data)
+    keys: dict[str, object] = {}
+    pending_key: str | None = None
+
+    def _store(val):
+        nonlocal pending_key
+        if pending_key is not None:
+            keys[pending_key] = val
+            pending_key = None
+
+    while i < n:
+        c = data[i : i + 1]
+        if c in (b"\x00", b"\t", b"\n", b"\x0c", b"\r", b" "):
+            i += 1
+            continue
+        if c == b"(":
+            _, i = _read_literal_string(data, i)
+            _store(None)
+            continue
+        if c == b"[":  # array value (e.g. /D decode or /F filter lists)
+            depth = 0
+            while i < n:
+                ch = data[i : i + 1]
+                if ch == b"(":
+                    _, i = _read_literal_string(data, i)
+                    continue
+                if ch == b"[":
+                    depth += 1
+                elif ch == b"]":
+                    depth -= 1
+                    if depth == 0:
+                        i += 1
+                        break
+                i += 1
+            _store(None)
+            continue
+        if data[i : i + 2] == b"<<":  # dict value — nesting-aware skip
+            depth = 0
+            while i < n - 1:
+                pair = data[i : i + 2]
+                if pair == b"<<":
+                    depth += 1
+                    i += 2
+                elif pair == b">>":
+                    depth -= 1
+                    i += 2
+                    if depth == 0:
+                        break
+                elif data[i : i + 1] == b"(":
+                    _, i = _read_literal_string(data, i)
+                else:
+                    i += 1
+            _store(None)
+            continue
+        if c == b"<":  # hex string value
+            j = data.index(b">", i)
+            i = j + 1
+            _store(None)
+            continue
+        m = re.match(rb"[-+.\d][-+.\d]*|/[^\s/\[\]()<>{}]*|[A-Za-z]+", data[i:])
+        if not m:
+            i += 1
+            continue
+        tok = m.group(0).decode("latin-1")
+        i += len(tok)
+        if tok == "ID":
+            break
+        if tok[0] == "/":
+            if pending_key is None:
+                pending_key = tok
+            else:
+                _store(tok)
+        elif tok[0] in "-+.0123456789":
+            _store(float(tok))
+        else:  # true/false/null value
+            _store(None)
+    else:
+        raise ValueError("inline image missing ID operator")
+    # exactly one whitespace byte separates ID from the binary data (spec),
+    # but real writers emit CRLF — consume the LF too, as pdf.js/mupdf do
+    if data[i : i + 1] == b"\r" and data[i + 1 : i + 2] == b"\n":
+        i += 2
+    elif data[i : i + 1] in (b"\x00", b"\t", b"\n", b"\x0c", b"\r", b" "):
+        i += 1
+
+    def _int_key(*names) -> int | None:
+        for k in names:
+            v = keys.get(k)
+            if isinstance(v, float):
+                return int(v)
+        return None
+
+    length = _int_key("/L", "/Length")
+    if length is None and "/F" not in keys and "/Filter" not in keys:
+        w = _int_key("/W", "/Width")
+        h = _int_key("/H", "/Height")
+        bpc = _int_key("/BPC", "/BitsPerComponent") or 8
+        cs = keys.get("/CS", keys.get("/ColorSpace"))
+        ch = _CS_CHANNELS.get(cs) if isinstance(cs, str) else None
+        if keys.get("/IM") or keys.get("/ImageMask"):
+            ch, bpc = 1, 1  # image masks are 1-bit single-channel
+        if w is not None and h is not None and ch is not None:
+            length = ((w * ch * bpc + 7) // 8) * h
+    if length is not None:
+        end = i + length
+        if end > n:
+            raise ValueError("inline image data truncated")
+        m2 = re.compile(rb"[\x00\t\n\x0c\r ]*EI").match(data, end)
+        if m2:  # exact length confirmed by its terminator
+            return m2.end()
+        # declared length disagrees with the stream — fall through to scan
+    m3 = _EI_RE.search(data, i)
+    if not m3:
+        raise ValueError("inline image missing EI terminator")
+    return m3.end()
+
+
 def _read_literal_string(data: bytes, i: int) -> tuple[str, int]:
     """data[i] == '(' — parse a PDF literal string, return (text, next_i)."""
     depth = 1
@@ -530,9 +678,12 @@ def _run_content(data: bytes):
             continue
         # operator
         if t == "BI":
-            # inline image: binary data follows until EI — outside this
-            # interpreter's scope; refuse rather than garbage-tokenize it
-            raise NotImplementedError("inline images (BI..EI) unsupported")
+            # inline image: step over the dict + binary payload exactly
+            # (length-resolved; see _skip_inline_image) — pixels are not
+            # text, but garbage-tokenizing them would corrupt the page
+            i = _skip_inline_image(data, i)
+            operands.clear()
+            continue
         if t == "BT":
             tm = tlm = _ID
         elif t == "ET":

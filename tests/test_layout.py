@@ -150,7 +150,7 @@ def _one_page_pdf(content: bytes) -> bytes:
 def test_pdf_content_stream_edge_cases():
     """Review findings: nested inline dicts must be skipped with depth
     (not to the first '>>'), \\8 and \\9 are unknown escapes whose
-    backslash drops (not octal crashes), and BI inline images refuse."""
+    backslash drops (not octal crashes), and BI inline images skip."""
     from ai_service_ocr_grading_handler_spark.core import pdfx
 
     # nested dict between text ops: '(B)' inside the dict must NOT leak
@@ -166,10 +166,13 @@ def test_pdf_content_stream_edge_cases():
     esc = _one_page_pdf(rb"BT /F1 10 Tf 10 20 Td (foo\9bar\8baz\101) Tj ET")
     texts = [t for (_, _, _, _, t, _) in pdfx.extract_text_boxes(esc)]
     assert texts == ["foo9bar8bazA"]  # \101 octal = 'A'
-    # inline images are out of scope and must refuse, not garbage-tokenize
-    bi = _one_page_pdf(b"BI /W 1 /H 1 ID \x00\x01\x02 EI BT (x) Tj ET")
-    with pytest.raises(NotImplementedError):
-        pdfx.extract_text_boxes(bi)
+    # inline images are skipped exactly (round 5), never garbage-tokenized:
+    # the trailing text op still extracts (font state survives the image)
+    bi = _one_page_pdf(
+        b"BI /W 1 /H 1 ID \x00\x01\x02 EI BT /F1 10 Tf 5 6 Td (x) Tj ET"
+    )
+    texts = [t for (_, _, _, _, t, _) in pdfx.extract_text_boxes(bi)]
+    assert texts == ["x"]
 
 
 def test_pdf_codec_malformed_structures_raise_typed_errors():
@@ -537,3 +540,48 @@ def test_expanding_filters_are_bomb_bounded(monkeypatch):
         out.append((acc << (8 - nbits)) & 0xFF)
     with pytest.raises(ValueError, match="bound|bomb"):
         pdfx._lzw_decode(bytes(out))
+
+
+def test_inline_images_are_skipped_exactly():
+    """BI..EI inline images (PDF 32000-1 §8.9.7) must be stepped over,
+    not refused (pre-round-5) and not garbage-tokenized. Three length
+    resolutions: computed from /W /H /BPC /CS for unfiltered data (exact
+    even when the payload embeds ' EI '), /L for filtered data (exact),
+    and the whitespace-delimited EI scan when no length is derivable."""
+    from ai_service_ocr_grading_handler_spark.core import pdfx
+
+    expect = [(0, 10.0, 20.0, 9.0, "after", 792.0)]
+    tail = b" BT /F1 9 Tf 10 20 Td (after) Tj ET"
+    # computed length: 2x2 gray 8bpc = 4 bytes, deliberately ' EI '
+    computed = b"BI /W 2 /H 2 /BPC 8 /CS /G ID \x20EI\x20Q" + tail
+    assert pdfx.extract_text_boxes(_filtered_one_page_pdf(computed, b"")) == expect
+    # /L exact over filtered data embedding a fake ' EI '
+    exact = b"BI /W 1 /H 1 /F /AHx /L 6 ID \nAB EI>\nEI" + tail
+    assert pdfx.extract_text_boxes(_filtered_one_page_pdf(exact, b"")) == expect
+    # no length derivable (filtered, no /L): EI scan
+    scanned = b"BI /W 1 /H 1 /F /Fl ID \x78\x9c\x03\x00\x00\x01 EI" + tail
+    assert pdfx.extract_text_boxes(_filtered_one_page_pdf(scanned, b"")) == expect
+    # full-name keys + 1-bit image mask (/IM: 1 channel x 1 bit, row-padded)
+    mask = (
+        b"BI /Width 9 /Height 2 /ImageMask true ID "
+        + bytes(4)  # ceil(9/8)=2 bytes x 2 rows
+        + b" EI" + tail
+    )
+    assert pdfx.extract_text_boxes(_filtered_one_page_pdf(mask, b"")) == expect
+    # CRLF after ID (real-writer form; spec says one whitespace byte)
+    crlf = b"BI /W 1 /H 1 /BPC 8 /CS /G ID\r\n\xffEI" + tail
+    # data byte is 0xff; terminator scan confirms the computed end
+    assert pdfx.extract_text_boxes(_filtered_one_page_pdf(crlf, b"")) == expect
+
+
+def test_inline_image_truncation_is_typed():
+    """A BI with no EI terminator is data truncation -> ValueError (the
+    codec error contract), never a hang or a garbage parse."""
+    import pytest as _pytest
+
+    from ai_service_ocr_grading_handler_spark.core import pdfx
+
+    with _pytest.raises(ValueError):
+        pdfx.extract_text_boxes(
+            _filtered_one_page_pdf(b"BI /W 2 /H 2 ID \xff\xff", b"")
+        )
