@@ -800,6 +800,56 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _curation.cdx_index(pages, content_col="text")
 
 
+_URL_BASE_DUCK = DUCKDB_URL_EXPR.format(id="doc_id", src="source")
+
+
+@register_library(
+    "url_dedup_latest",
+    _curation.url_capture_dedup_duck(
+        f"""
+        SELECT {_URL_BASE_DUCK} AS url, {_cdx_ts_duck()} AS warc_ts, text
+        FROM documents
+        UNION ALL
+        SELECT upper(regexp_replace({_URL_BASE_DUCK}, '^https://', 'https://www.')) AS url,
+               replace({_cdx_ts_duck()}, '20240101', '20240102') AS warc_ts,
+               text || ' (recrawl)' AS text
+        FROM documents WHERE doc_id % 2 = 0
+        """
+    )
+    + " ORDER BY surt",
+)
+def q_url_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level capture dedup — keep the LATEST capture per canonical
+    SURT key, the pass every Common-Crawl-derived corpus runs before
+    content dedup. The fixture plants a re-crawl for every even doc_id
+    (same page behind a www-prefixed UPPERCASED URL, one day later,
+    changed body), so half the corpus has a genuine URL-level duplicate
+    whose canonical keys collide only through SURT; the survivor must be
+    the re-crawl. One hash shuffle; the winner is a map-side-combinable
+    max(struct(...)) aggregate, never a per-capture window (hot-URL-skew
+    safe). DuckDB twin value-checks surviving url, timestamp AND body."""
+    d = F.col("doc_id")
+    base = url_col("doc_id", "source")
+    s = d % 86400
+    hhmmss = F.concat(
+        F.lpad((s / 3600).cast("int").cast("string"), 2, "0"),
+        F.lpad(((s % 3600) / 60).cast("int").cast("string"), 2, "0"),
+        F.lpad((s % 60).cast("string"), 2, "0"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    first = docs.select(
+        base.alias("url"),
+        F.concat(F.lit("20240101"), hhmmss).alias("warc_ts"),
+        "text",
+    )
+    recrawl = docs.filter(d % 2 == 0).select(
+        F.upper(F.regexp_replace(base, "^https://", "https://www.")).alias("url"),
+        F.concat(F.lit("20240102"), hhmmss).alias("warc_ts"),
+        F.concat(F.col("text"), F.lit(" (recrawl)")).alias("text"),
+    )
+    return _curation.url_capture_dedup(first.unionByName(recrawl)).orderBy("surt")
+
+
 @register(
     "warc_roundtrip",
     f"""

@@ -343,3 +343,42 @@ def test_cdx_index_total_order_and_digests(spark):
     assert out[2].digest != out[3].digest  # recrawl changed content
     assert out[2].digest == out[0].digest  # same bytes -> same digest
     assert all(r.length == 2 for r in out)
+
+
+def test_url_capture_dedup_latest_and_tiebreak(spark):
+    """url_capture_dedup keeps exactly one capture per SURT key: the max
+    (warc_ts, url, digest, text) struct — latest capture wins; exact
+    timestamp ties break deterministically by binary url order. Variants
+    that only SURT unifies (scheme, www, default port, query order,
+    case) must collapse to one row."""
+    from ai_service_ocr_grading_handler_spark.operators import curation
+
+    rows = [
+        # one page, four captures under SURT-equivalent URLs
+        ("https://example.com/a?x=1&y=2", "20240101000000", "v1"),
+        ("http://EXAMPLE.com:80/a?y=2&x=1", "20240103000000", "v3"),
+        ("https://www.example.com/a?x=1&y=2", "20240102000000", "v2"),
+        # exact-ts tie on another page: greater url string must win
+        ("https://other.org/p", "20240105000000", "tie-a"),
+        ("https://other.org/p?", "20240105000000", "tie-b"),
+        # singleton
+        ("https://solo.net/q", "20240101010101", "only"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, text string")
+    out = {
+        r.surt: (r.warc_ts, r.text)
+        for r in curation.url_capture_dedup(df).collect()
+    }
+    assert len(out) == 3
+    assert out["com,example)/a?x=1&y=2"] == ("20240103000000", "v3")
+    # '?' (0x3f) sorts above end-of-string: the '?'-suffixed url wins
+    assert out["org,other)/p"] == ("20240105000000", "tie-b")
+    assert out["net,solo)/q"] == ("20240101010101", "only")
+    # the winner selection is an AGGREGATE (map-side combinable), not a
+    # per-capture window — hot-URL skew safety is a plan property
+    plan = (
+        curation.url_capture_dedup(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
