@@ -225,7 +225,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
     frame = None  # (width, height, [(comp_id, h, v, tq)])
     progressive = False
     coef_store = None  # per-comp per-block zigzag coefficient lists
-    scans_seen = 0
+    scan_work = 0  # accumulated coefficient-visits across progressive scans
     i = 2
     n = len(data)
     while i + 4 <= n:
@@ -313,17 +313,26 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
             # the persistent per-block store; rendering happens at EOI
             if coef_store is None:
                 coef_store = _init_coef_store(frame)
+                # a spec-legal progressive file refines each (component,
+                # coefficient) at most ~14 times (Al descends one level
+                # per pass from <=13); budget 24 full passes over every
+                # stored coefficient — generous for any legal file, and a
+                # hard wall for crafted files that repeat full-coverage
+                # scans indefinitely (each costs O(blocks x band) CPU no
+                # matter how few bytes encode it)
+                scan_budget = 24 * 64 * sum(len(cs) for cs in coef_store)
             segments, end = _split_scan(data, i + 2 + seg_len)
-            _decode_progressive_scan(
+            scan_work += _decode_progressive_scan(
                 body, segments, frame, coef_store, huff_dc, huff_ac,
                 restart_interval,
             )
-            scans_seen += 1
+            if scan_work > scan_budget:
+                raise ValueError("progressive scan work exceeds decode bound")
             i = end
             continue
         # APPn/COM/others: skip
         i += 2 + seg_len
-    if progressive and scans_seen:
+    if progressive and scan_work:
         return _render_progressive(frame, qt, coef_store)
     raise ValueError("no scan data in JPEG")
 
@@ -530,6 +539,13 @@ def _decode_progressive_scan(
             scan[0], comps, coef_store, reader, mcus_x,
             restart_interval, ss, se, ah, al, width, height, hmax, vmax,
         )
+    # coefficient-visit charge for the caller's work budget: each scan
+    # touches every block of each scan component across its spectral band
+    # regardless of how few BYTES encode it (one EOBRUN symbol can cover
+    # the whole image), so per-scan cost must be accounted from the
+    # header, not the payload size (review finding: a ~1 MB file packing
+    # thousands of tiny full-coverage refinement scans is a CPU bomb)
+    return sum(len(coef_store[ci]) for ci, _, _ in scan) * (se - ss + 1)
 
 
 def _comp_block_span(width, height, h, v, hmax, vmax):

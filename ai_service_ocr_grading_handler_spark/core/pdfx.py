@@ -486,8 +486,10 @@ def _skip_inline_image(data: bytes, i: int) -> int:
                 _store(tok)
         elif tok[0] in "-+.0123456789":
             _store(float(tok))
-        else:  # true/false/null value
-            _store(None)
+        else:  # keyword value — keep the token: /IM true must be
+            # distinguishable from /IM false (review finding: storing
+            # None made the image-mask length path dead code)
+            _store(tok)
     else:
         raise ValueError("inline image missing ID operator")
     # exactly one whitespace byte separates ID from the binary data (spec),
@@ -511,7 +513,7 @@ def _skip_inline_image(data: bytes, i: int) -> int:
         bpc = _int_key("/BPC", "/BitsPerComponent") or 8
         cs = keys.get("/CS", keys.get("/ColorSpace"))
         ch = _CS_CHANNELS.get(cs) if isinstance(cs, str) else None
-        if keys.get("/IM") or keys.get("/ImageMask"):
+        if "true" in (keys.get("/IM"), keys.get("/ImageMask")):
             ch, bpc = 1, 1  # image masks are 1-bit single-channel
         if w is not None and h is not None and ch is not None:
             length = ((w * ch * bpc + 7) // 8) * h

@@ -533,7 +533,32 @@ def warc_pages(files_df: DataFrame) -> DataFrame:
     accs = _make_drop_accumulators(files_df.sparkSession)
 
     def kernel(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        # drop counts flush to the accumulators BEFORE each yield (delta
+        # since the last flush), not after the loop: a generator closed
+        # early at a yield (GeneratorExit) skips post-loop code, so a
+        # tail-only flush would lose every counted drop of the task
+        # (review finding). Delivery caveat, measured: PySpark transmits
+        # accumulator updates once, at Python-worker completion — a task
+        # KILLED mid-stream (e.g. .limit() satisfied elsewhere) delivers
+        # nothing no matter when .add() ran, so this side channel is
+        # best-effort under partial consumption. It is exact for the runs
+        # the metric exists for (full ingestion passes, where every task
+        # completes); when loss accounting must be exact regardless of
+        # consumption, use `warc_drop_counts()` below — the counts as
+        # DATA, not a side channel. A final flush covers the
+        # clean-exhaustion tail between the last yield and StopIteration.
         counts: dict[str, int] = {}
+        flushed: dict[str, int] = {}
+
+        def _flush():
+            if accs is None:
+                return
+            for r, v in counts.items():
+                delta = v - flushed.get(r, 0)
+                if delta:
+                    accs[r].add(delta)
+                    flushed[r] = v
+
         for batch in batches:
             urls: list[str] = []
             ts: list = []
@@ -559,6 +584,7 @@ def warc_pages(files_df: DataFrame) -> DataFrame:
                     urls.append(uri)
                     ts.append(_parse_warc_date(date))
                     htmls.append(body)
+            _flush()
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(urls, pa.string()),
@@ -569,13 +595,57 @@ def warc_pages(files_df: DataFrame) -> DataFrame:
                 ],
                 names=["url", "warc_ts", "html", "text", "lang"],
             )
-        if accs is not None:
-            for r, n in counts.items():
-                accs[r].add(n)
+        _flush()
 
     return files_df.select("content").mapInArrow(
         kernel,
         schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+def warc_drop_counts(files_df: DataFrame) -> DataFrame:
+    """(reason, n) drop accounting for a WARC scan as a DATA-PLANE query —
+    the counts are rows, so they are exact under ANY consumption pattern
+    (limits, retries, partial reads), unlike the accumulator side channel
+    whose updates a killed task never delivers. One narrow pass over the
+    same (content) column with the identical filter chain as `warc_pages`
+    (the shared `iter_warc_records` + keep-filters), one tiny groupBy-sum
+    on at most len(DROP_REASONS) rows per task. A 100 TB lineage-grade
+    loss report runs this alongside (or instead of) the accumulators."""
+    import pyarrow as pa
+
+    def kernel(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            counts: dict[str, int] = {}
+            for blob in batch.column(0).to_pylist():
+                if blob is None:
+                    continue
+                for wtype, uri, date, status, ctype, body in iter_warc_records(
+                    blob, counts
+                ):
+                    if wtype != "response" or not uri:
+                        _bump(counts, "non_response_record")
+                    elif status != 200:
+                        _bump(counts, "non_200_status")
+                    elif ctype is not None and "html" not in ctype.lower():
+                        _bump(counts, "non_html_content_type")
+                    elif ctype is None and not _sniffs_html(body):
+                        _bump(counts, "unsniffable_missing_content_type")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(list(counts.keys()), pa.string()),
+                    pa.array([counts[k] for k in counts], pa.int64()),
+                ],
+                names=["reason", "n"],
+            )
+
+    import pyspark.sql.functions as F
+
+    return (
+        files_df.select("content")
+        .mapInArrow(kernel, schema="reason string, n long")
+        .groupBy("reason")
+        .agg(F.sum("n").alias("n"))
     )
 
 

@@ -710,3 +710,38 @@ def test_progressive_flat_block_eob_runs():
     base = encode_jpeg(width, height, [(plane, width, height)], [(1, 1)])
     prog = encode_jpeg_progressive(width, height, [(plane, width, height)], [(1, 1)])
     assert jpegx.decode_jpeg(prog) == jpegx.decode_jpeg(base)
+
+
+def test_progressive_scan_work_bomb_is_bounded():
+    """A crafted SOF2 file repeating full-coverage scans indefinitely is
+    an asymmetric CPU bomb: each one-EOB-byte scan costs O(blocks x band)
+    decode work. The decoder budgets 24 full passes over every stored
+    coefficient and raises ValueError beyond it — while spec-shaped
+    files (up to ~14 successive-approximation passes) stay well inside."""
+    import pytest as _pytest
+
+    def bomb(n_scans):
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+        sof = struct.pack(">BHHB", 8, 8, 8, 1) + struct.pack(">BBB", 1, 0x11, 0)
+        out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+        # one-code tables: DC value 0 and AC value 0x00 (EOB) at length 1
+        for tc in (0, 1):
+            body = bytes([tc << 4]) + bytes([1] + [0] * 15) + b"\x00"
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        # DC first scan: category 0 -> single 0 bit
+        out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 0, 0x00])
+        out += b"\x00"
+        # repeated AC-first full-band scans: single EOB symbol each
+        for _ in range(n_scans):
+            out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 1, 63, 0x00])
+            out += b"\x00"
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # 8x8 gray = 1 block; budget = 24*64 visits; 63 visits per AC scan:
+    # 20 scans (1260 + 1 DC) decode fine, 30 scans (1890) must be refused
+    w, h, mode, _ = jpegx.decode_jpeg(bomb(20))
+    assert (w, h, mode) == (8, 8, "RGB")
+    with _pytest.raises(ValueError, match="scan work"):
+        jpegx.decode_jpeg(bomb(30))

@@ -561,10 +561,17 @@ def test_inline_images_are_skipped_exactly():
     # no length derivable (filtered, no /L): EI scan
     scanned = b"BI /W 1 /H 1 /F /Fl ID \x78\x9c\x03\x00\x00\x01 EI" + tail
     assert pdfx.extract_text_boxes(_filtered_one_page_pdf(scanned, b"")) == expect
-    # full-name keys + 1-bit image mask (/IM: 1 channel x 1 bit, row-padded)
+    # full-name keys + 1-bit image mask (/IM: 1 channel x 1 bit,
+    # row-padded). The 6 mask bytes deliberately EMBED ' EI ' — only the
+    # computed-length path skips this exactly; the heuristic scan would
+    # stop mid-payload and garbage-tokenize the rest (review finding:
+    # boolean keyword tokens were stored as None, deadening this path)
     mask = (
-        b"BI /Width 9 /Height 2 /ImageMask true ID "
-        + bytes(4)  # ceil(9/8)=2 bytes x 2 rows
+        b"BI /Width 24 /Height 2 /ImageMask true ID "
+        # 3 bytes/row x 2 rows; ' EI ' inside, then an unbalanced '(' so
+        # a mis-skip that resumes mid-payload swallows the tail as an
+        # unterminated literal string and provably loses the text
+        + b"\x20EI\x20(b"
         + b" EI" + tail
     )
     assert pdfx.extract_text_boxes(_filtered_one_page_pdf(mask, b"")) == expect

@@ -544,3 +544,43 @@ def test_warc_drop_telemetry(spark, tmp_path):
     assert m["corrupt_gzip_member"] == 1
     assert m["early_stream_stop"] == 1
     assert m["invocation"] >= 1
+
+
+def test_warc_drop_counts_are_exact_data_plane_rows(spark, tmp_path):
+    """The accumulator side channel is best-effort under partial
+    consumption (measured: a task killed by a satisfied .limit() delivers
+    NO accumulator updates at all, whenever .add() ran) — so exact loss
+    accounting is a DATA-PLANE query: `warc_drop_counts` emits (reason, n)
+    as rows. It must (a) agree exactly with the planted record mix, and
+    (b) stay exact while a pages query over the same files is limited."""
+    import gzip
+
+    from ai_service_ocr_grading_handler_spark.sources import warc
+
+    html = b"<html><body><p>" + b"kept words " * 20 + b"</p></body></html>"
+    d = tmp_path / "warc-many"
+    d.mkdir()
+    for k in range(8):
+        recs = (
+            _warc_record("response", f"https://d.example/{k}", "2024-05-06T07:08:09Z",
+                         _http(404, "text/html", b"<html>gone</html>"))
+            + _warc_record("request", f"https://d.example/{k}", "2024-05-06T07:08:09Z",
+                           b"GET / HTTP/1.1\r\n\r\n")
+            + _warc_record("response", f"https://k.example/{k}", "2024-05-06T07:08:09Z",
+                           _http(200, "image/png", b"\x89PNGnotreally"))
+            + _warc_record("response", f"https://k.example/{k}/ok", "2024-05-06T07:08:09Z",
+                           _http(200, "text/html", html))
+        )
+        (d / f"seg{k:02d}.warc.gz").write_bytes(gzip.compress(recs))
+
+    files = spark.read.format("binaryFile").load(str(d))
+    got = {r.reason: r.n for r in warc.warc_drop_counts(files).collect()}
+    assert got == {
+        "non_200_status": 8,
+        "non_response_record": 8,
+        "non_html_content_type": 8,
+    }
+    # a limited pages query over the same files cannot perturb the counts
+    assert len(warc.warc_pages(files).limit(1).collect()) == 1
+    again = {r.reason: r.n for r in warc.warc_drop_counts(files).collect()}
+    assert again == got
