@@ -226,6 +226,125 @@ def duck_top_bigram_ratio(col: str = "text") -> str:
     return f"round({_top_run_ratio_duck(_BIGRAMS_DUCK.format(t=col))}, 4)"
 
 
+# --- duplicate-segment fractions (the rest of the Gopher A1.1 gate set) ------
+# "fraction of lines/paragraphs that are duplicates" and the char-weighted
+# variants: a scraped page repeats nav/footer lines and boilerplate
+# paragraphs. All four are single-row native expressions (zero shuffle,
+# scan speed); segments are trimmed and blank-filtered first (blank lines
+# are STRUCTURE, not content — same rule as curation.line_dedup_on). The
+# O(segments²) array_position probe is bounded by document size, the same
+# accepted cost shape as line_dedup_on.
+
+_NONBLANK_LINES = "filter(transform(split({t}, '\\n'), x -> trim(x)), x -> x != '')"
+# '\n{2,}': a literal newline atom with a regex quantifier — blank-line
+# separated paragraph blocks, the Dolma/Gopher convention
+_PARAGRAPH_BLOCKS = (
+    "filter(transform(split({t}, '\\n{{2,}}'), x -> trim(x)), x -> x != '')"
+)
+_LINES_DUCK = (
+    "list_filter(list_transform(string_split({t}, chr(10)), x -> trim(x)),"
+    " x -> x != '')"
+)
+_PARAS_DUCK = (
+    "list_filter(list_transform(string_split_regex({t}, '\\n{{2,}}'),"
+    " x -> trim(x)), x -> x != '')"
+)
+
+
+def _dup_frac_spark(segs: str) -> str:
+    """Fraction of segments that repeat an earlier one: a segment is a
+    duplicate iff its 1-based first occurrence (array_position) is not its
+    own index. `segs` is bound to a lambda variable so the split/trim/
+    filter chain runs once per row."""
+    flags = "transform(ss, (x, i) -> IF(array_position(ss, x) <> i + 1, 1L, 0L))"
+    return (
+        f"element_at(transform(array({segs}), ss ->"
+        f" CASE WHEN size(ss) = 0 THEN 0.0D"
+        f" ELSE aggregate({flags}, 0L, (a, b) -> a + b) / size(ss) END), 1)"
+    )
+
+
+def _dup_char_frac_spark(segs: str) -> str:
+    """Characters inside duplicate segments / characters in all segments."""
+    dup = (
+        "aggregate(transform(ss, (x, i) ->"
+        " IF(array_position(ss, x) <> i + 1, length(x), 0)), 0, (a, b) -> a + b)"
+    )
+    tot = "aggregate(transform(ss, x -> length(x)), 0, (a, b) -> a + b)"
+    return (
+        f"element_at(transform(array({segs}), ss ->"
+        f" CASE WHEN size(ss) = 0 THEN 0.0D"
+        f" ELSE {dup} / {tot} END), 1)"
+    )
+
+
+def _dup_frac_duck(segs: str) -> str:
+    # independent derivation: duplicates = n - count(DISTINCT) — equal to
+    # the Spark first-occurrence-flag sum by definition
+    return (
+        f"CASE WHEN len({segs}) = 0 THEN 0.0"
+        f" ELSE (len({segs}) - (SELECT count(DISTINCT g)"
+        f" FROM unnest({segs}) AS u(g)))::double / len({segs}) END"
+    )
+
+
+def _dup_char_frac_duck(segs: str) -> str:
+    # duplicate char mass = total chars - chars of one instance per value
+    tot = f"(SELECT sum(length(g)) FROM unnest({segs}) AS u(g))"
+    firsts = (
+        f"(SELECT sum(length(g)) FROM"
+        f" (SELECT DISTINCT g FROM unnest({segs}) AS u(g)) AS t)"
+    )
+    return (
+        f"CASE WHEN len({segs}) = 0 THEN 0.0"
+        f" ELSE ({tot} - {firsts})::double / {tot} END"
+    )
+
+
+def dup_line_fraction(text_col: str = "text") -> Column:
+    """Gopher gate: fraction of non-blank lines repeating an earlier line."""
+    return F.round(F.expr(_dup_frac_spark(_NONBLANK_LINES.format(t=text_col))), 4)
+
+
+def dup_line_char_fraction(text_col: str = "text") -> Column:
+    """Gopher gate: characters in repeated lines / characters in all lines."""
+    return F.round(
+        F.expr(_dup_char_frac_spark(_NONBLANK_LINES.format(t=text_col))), 4
+    )
+
+
+def dup_paragraph_fraction(text_col: str = "text") -> Column:
+    """Gopher gate: fraction of blank-line-separated paragraph blocks
+    repeating an earlier block."""
+    return F.round(
+        F.expr(_dup_frac_spark(_PARAGRAPH_BLOCKS.format(t=text_col))), 4
+    )
+
+
+def dup_paragraph_char_fraction(text_col: str = "text") -> Column:
+    """Gopher gate: characters in repeated paragraph blocks / characters in
+    all blocks."""
+    return F.round(
+        F.expr(_dup_char_frac_spark(_PARAGRAPH_BLOCKS.format(t=text_col))), 4
+    )
+
+
+def duck_dup_line_fraction(col: str = "text") -> str:
+    return f"round({_dup_frac_duck(_LINES_DUCK.format(t=col))}, 4)"
+
+
+def duck_dup_line_char_fraction(col: str = "text") -> str:
+    return f"round({_dup_char_frac_duck(_LINES_DUCK.format(t=col))}, 4)"
+
+
+def duck_dup_paragraph_fraction(col: str = "text") -> str:
+    return f"round({_dup_frac_duck(_PARAS_DUCK.format(t=col))}, 4)"
+
+
+def duck_dup_paragraph_char_fraction(col: str = "text") -> str:
+    return f"round({_dup_char_frac_duck(_PARAS_DUCK.format(t=col))}, 4)"
+
+
 def quality_row(text_col: str = "text") -> Column:
     """ALL doc-quality outputs (lang_pred, n_words, mean_word_len,
     punct_ratio, stopword_ratio, top_word_ratio, top_bigram_ratio, quality)

@@ -893,6 +893,66 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+@register_library(
+    "warc_drop_counts_audit",
+    """
+    WITH reasons AS (
+      SELECT CASE doc_id % 7
+               WHEN 0 THEN 'non_response_record'
+               WHEN 1 THEN 'non_200_status'
+               WHEN 2 THEN 'non_html_content_type'
+               WHEN 3 THEN 'unsniffable_missing_content_type'
+             END AS reason
+      FROM documents)
+    SELECT reason, count(*) AS n FROM reasons
+    WHERE reason IS NOT NULL GROUP BY reason ORDER BY reason
+    """,
+)
+def q_warc_drop_counts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-plane WARC loss accounting value-checked cross-engine: pages
+    are wrapped natively into WARC records planting one drop reason per
+    doc_id residue (request record, 404 status, image/png Content-Type,
+    missing Content-Type with a non-markup body — plus two KEPT shapes,
+    declared html and sniffed html), and `warc_drop_counts` must report
+    exactly the planted per-reason totals. This is the accounting a
+    100 TB ingestion publishes with its lineage: the counts are rows of
+    this very query, exact under any consumption pattern (unlike the
+    best-effort accumulator channel — see sources/warc.py)."""
+    from ai_service_ocr_grading_handler_spark.sources import warc as _warc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = F.col("doc_id") % 7
+    wtype = F.when(r == 0, F.lit("request")).otherwise(F.lit("response"))
+    status = F.when(r == 1, F.lit("HTTP/1.1 404 Not Found")).otherwise(
+        F.lit("HTTP/1.1 200 OK")
+    )
+    ctype = (
+        F.when(r == 2, F.lit("Content-Type: image/png\r\n"))
+        .when(r.isin(3, 4), F.lit(""))
+        .otherwise(F.lit("Content-Type: text/html; charset=utf-8\r\n"))
+    )
+    body = (
+        F.when(r == 0, F.lit("GET / HTTP/1.1\r\n\r\n"))
+        .when(r == 3, F.concat(F.lit("BINARY"), F.col("text")))
+        .when(r == 4, F.concat(F.lit("<p>"), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    http = F.concat(status, F.lit("\r\n"), ctype, F.lit("\r\n"), body)
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: "),
+        wtype,
+        F.lit("\r\nWARC-Date: 2024-01-02T03:04:05Z\r\nWARC-Target-URI: "),
+        url_col("doc_id", "source"),
+        F.lit("\r\nContent-Length: "),
+        F.length(F.encode(http, "utf-8")).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
+    blobs = docs.select(F.encode(record, "utf-8").alias("content"))
+    return _warc.warc_drop_counts(blobs).orderBy("reason")
+
+
 # Frontier split for the incremental-dedup tier: the planted dup corpus is
 # base docs (doc_id < 1M, "committed by a prior run") plus +1M exact and
 # +2M near copies (the "new" slice) — monotone ids, the append-only lake
@@ -2929,6 +2989,75 @@ def q_perplexity_buckets_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     ref = docs.filter(F.col("doc_id") % 10 == 0).select("text")
     return _tq.perplexity_buckets(docs, ref, top_k_bigrams=500).orderBy("doc_id")
+
+
+# planted page structure for the duplicate-segment gates: every third doc
+# gets a repeated nav line AND a verbatim repeat of its own body as a
+# second paragraph block (the scraped-boilerplate shape Gopher A1.1 cuts);
+# every fifth doc gets a repeated short line only. Identical construction
+# in both engines, so the gate values are fully value-checked.
+_REP_TEXT_DUCK = (
+    "CASE WHEN doc_id % 3 = 0 THEN"
+    " 'nav menu' || chr(10) || text || chr(10) || 'nav menu'"
+    " || chr(10) || chr(10) || text"
+    " WHEN doc_id % 5 = 0 THEN"
+    " substr(text, 1, 24) || chr(10) || text || chr(10) || substr(text, 1, 24)"
+    " ELSE text END"
+)
+
+
+@register_library(
+    "repetition_gates",
+    f"""
+    WITH pages AS (SELECT doc_id, {_REP_TEXT_DUCK} AS text FROM documents)
+    SELECT doc_id,
+           {_tq.duck_top_word_ratio('text')} AS top_word_ratio,
+           {_tq.duck_top_bigram_ratio('text')} AS top_bigram_ratio,
+           {_tq.duck_dup_line_fraction('text')} AS dup_line_frac,
+           {_tq.duck_dup_line_char_fraction('text')} AS dup_line_char_frac,
+           {_tq.duck_dup_paragraph_fraction('text')} AS dup_para_frac,
+           {_tq.duck_dup_paragraph_char_fraction('text')} AS dup_para_char_frac
+    FROM pages ORDER BY doc_id
+    """,
+)
+def q_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher A1.1 repetition gate set: most-common word/2-gram
+    ratios plus duplicate line/paragraph fractions (count- and
+    char-weighted) — all single-row native expressions at scan speed,
+    zero shuffle. The fixture plants repeated nav lines and a verbatim
+    body re-paste on deterministic doc_id residues; the DuckDB twin
+    recomputes every gate with an independent derivation (distinct-count
+    arithmetic vs Spark's first-occurrence flags) and value-checks all
+    six."""
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    planted = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("nav menu"), nl, F.col("text"), nl, F.lit("nav menu"),
+                nl, nl, F.col("text"),
+            ),
+        )
+        .when(
+            d % 5 == 0,
+            F.concat(
+                F.substring("text", 1, 24), nl, F.col("text"), nl,
+                F.substring("text", 1, 24),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    pages = _t(spark, sf_dir, "documents").select("doc_id", planted.alias("text"))
+    return pages.select(
+        "doc_id",
+        _tq.top_word_ratio().alias("top_word_ratio"),
+        _tq.top_bigram_ratio().alias("top_bigram_ratio"),
+        _tq.dup_line_fraction().alias("dup_line_frac"),
+        _tq.dup_line_char_fraction().alias("dup_line_char_frac"),
+        _tq.dup_paragraph_fraction().alias("dup_para_frac"),
+        _tq.dup_paragraph_char_fraction().alias("dup_para_char_frac"),
+    ).orderBy("doc_id")
 
 
 _PRIORITY = [

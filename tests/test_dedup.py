@@ -827,3 +827,51 @@ def test_bigram_lm_pruning_floor_and_broadcast(spark):
     full = textquality.perplexity_buckets(docs, ref).collect()
     pruned = textquality.perplexity_buckets(docs, ref, top_k_bigrams=10_000).collect()
     assert sorted(map(tuple, full)) == sorted(map(tuple, pruned))
+
+
+def test_dup_segment_fractions_hand_fixtures(spark):
+    """The four duplicate-segment gates on hand-checkable fixtures, with
+    the DuckDB twins recomputing via independent distinct-count
+    arithmetic. Blank lines are structure (filtered before counting);
+    char weighting must favor long unique lines over short repeated ones."""
+    import duckdb
+
+    rows = [
+        (1, "a b c\nnav bar\nbody text\nnav bar\n\n  \na b c"),
+        (2, "para one here\n\npara two\n\npara one here"),
+        (3, "unique only"),
+        (4, ""),
+        (5, "x\nx\nx\nlonger line stays"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.dlf, r.dlcf, r.dpf, r.dpcf)
+        for r in df.select(
+            "doc_id",
+            textquality.dup_line_fraction().alias("dlf"),
+            textquality.dup_line_char_fraction().alias("dlcf"),
+            textquality.dup_paragraph_fraction().alias("dpf"),
+            textquality.dup_paragraph_char_fraction().alias("dpcf"),
+        ).collect()
+    }
+    # hand-derived: doc 1 lines [abc, nav, body, nav, abc] -> 2/5 dups
+    assert got[1][0] == 0.4
+    # doc 5: 2 of 4 lines are repeats, but only 2 of 20 chars
+    assert got[5] == (0.5, 0.1, 0.0, 0.0)
+    assert got[3] == (0.0, 0.0, 0.0, 0.0)
+    assert got[4] == (0.0, 0.0, 0.0, 0.0)
+    con = duckdb.connect()
+    con.execute("create table d(doc_id bigint, text varchar)")
+    con.executemany("insert into d values (?, ?)", rows)
+    want = {
+        r[0]: r[1:]
+        for r in con.execute(
+            f"""SELECT doc_id,
+            {textquality.duck_dup_line_fraction('text')},
+            {textquality.duck_dup_line_char_fraction('text')},
+            {textquality.duck_dup_paragraph_fraction('text')},
+            {textquality.duck_dup_paragraph_char_fraction('text')}
+            FROM d"""
+        ).fetchall()
+    }
+    assert got == want
