@@ -850,6 +850,30 @@ def q_url_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _curation.url_capture_dedup(first.unionByName(recrawl)).orderBy("surt")
 
 
+@register_library(
+    "domain_cap",
+    _curation.domain_cap_duck(
+        f"SELECT doc_id, {_URL_BASE_DUCK} AS url FROM documents", k=8
+    )
+    + " ORDER BY doc_id",
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (C4/RefinedWeb host balancing): keep at
+    most k=8 docs per host, the 8 that sort first by (md5(url), url) — a
+    deterministic pseudo-random draw independent of crawl order,
+    partitioning and cluster size. The synthetic url table is itself
+    skewed (30% of docs on host0), so the fixture exercises exactly the
+    viral-host shape the operator exists for. Spark executes as salted
+    two-phase top-k over a key-only projection (see
+    operators/curation.py:domain_cap for why the salt provably cancels);
+    the DuckDB twin is the plain unsalted per-host row_number — a hash
+    match proves the salted plan computes the unsalted semantics."""
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id", url_col("doc_id", "source").alias("url")
+    )
+    return _curation.domain_cap(pages, k=8, salt_buckets=4).orderBy("doc_id")
+
+
 @register(
     "warc_roundtrip",
     f"""
@@ -3058,6 +3082,44 @@ def q_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tq.dup_paragraph_fraction().alias("dup_para_frac"),
         _tq.dup_paragraph_char_fraction().alias("dup_para_char_frac"),
     ).orderBy("doc_id")
+
+
+@register_library(
+    "normalize_text",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN text || ' ' || chr(8212) || ' caf' || chr(233)
+                ELSE text END AS fixed,
+           doc_id % 2 = 0 AS was_mojibake,
+           nfc_normalize(text || ' cafe' || chr(769)) AS nfc
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization tier, value-checked two ways. (1) Mojibake
+    repair BY CONSTRUCTION: even doc_ids are corrupted natively
+    (encode UTF-8, decode Latin-1 — the exact double-encode web
+    pipelines commit) after appending an em-dash + 'café' suffix, and
+    `fix_mojibake` must reproduce the original string byte-exactly while
+    leaving clean odd rows untouched (no false positives — the is_mojibake
+    flag is part of the hash). (2) NFC via a CROSS-ENGINE normalizer: the
+    Spark side composes a planted decomposed 'e'+U+0301 with the Arrow
+    kernel, DuckDB with its own independent `nfc_normalize`."""
+    from ai_service_ocr_grading_handler_spark.operators import normalize as _nz
+
+    d = F.col("doc_id")
+    suffixed = F.concat(F.col("text"), F.lit(" — café"))
+    corrupted = F.when(
+        d % 2 == 0, F.decode(F.encode(suffixed, "UTF-8"), "ISO-8859-1")
+    ).otherwise(F.col("text"))
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        _nz.fix_mojibake(corrupted).alias("fixed"),
+        _nz.is_mojibake(corrupted).alias("was_mojibake"),
+        F.concat(F.col("text"), F.lit(" cafe\u0301")).alias("nfc"),
+    )
+    return _nz.nfc_normalize(pages, cols=("nfc",)).orderBy("doc_id")
 
 
 _PRIORITY = [

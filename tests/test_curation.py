@@ -382,3 +382,47 @@ def test_url_capture_dedup_latest_and_tiebreak(spark):
     )
     assert "Window" not in plan
     assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_domain_cap_exact_and_salt_invariant(spark):
+    """domain_cap keeps exactly the k docs per host that sort first by
+    (md5(url), url) — the unsalted semantics — for EVERY salt_buckets
+    value (the salted two-phase top-k must provably cancel the salt).
+    Hosts at or under the cap pass through untouched; the viral host is
+    cut to exactly k."""
+    from ai_service_ocr_grading_handler_spark.operators import curation
+
+    rows = (
+        # viral host: 40 pages
+        [(f"https://viral.example.com/p/{i}", i) for i in range(40)]
+        # exactly-at-cap host: 5 pages
+        + [(f"https://atcap.org/x{i}", 100 + i) for i in range(5)]
+        # tiny host (under cap), with port/www/case canonicalization
+        + [("https://WWW.Tiny.net:443/only", 200)]
+    )
+    df = spark.createDataFrame(rows, "url string, doc_id bigint")
+    import hashlib
+
+    def md5(u):
+        return hashlib.md5(u.encode()).hexdigest()
+
+    viral = sorted((md5(u), u) for u, _ in rows[:40])
+    want_viral = {u for _, u in viral[:5]}
+
+    baseline = None
+    for s in (1, 3, 16):
+        kept = {
+            r.url for r in curation.domain_cap(df, k=5, salt_buckets=s).collect()
+        }
+        assert kept & {u for u, _ in rows[:40]} == want_viral
+        assert {u for u, _ in rows[40:]} <= kept  # at/under-cap untouched
+        assert len(kept) == 5 + 5 + 1
+        baseline = baseline or kept
+        assert kept == baseline  # salt never leaks into the result
+
+    # host extraction: www/port/userinfo stripped, case folded
+    hosts = {
+        r.h
+        for r in df.select(curation.host_of("url").alias("h")).collect()
+    }
+    assert "tiny.net" in hosts and "viral.example.com" in hosts
