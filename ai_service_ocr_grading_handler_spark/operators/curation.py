@@ -342,6 +342,123 @@ def domain_cap_duck(pages_sql: str, k: int, url_col: str = "url") -> str:
     """
 
 
+# --- URL filtering (RefinedWeb-style pre-extraction gate) ----------------------
+#
+# The cheapest filter in the whole pipeline runs BEFORE any byte of html
+# is parsed: block hosts on a curated domain blocklist (RefinedWeb uses
+# the UT1 list, ~4.6M domains) and score URLs for spam vocabulary. At
+# 100 TB this gate prunes whole documents at the parquet scan's
+# projection width (url only), so it pays for itself immediately.
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host (`a.b.example.net` -> [a.b.example.net,
+    b.example.net, example.net, net]) — blocklists name REGISTRABLE
+    domains, so a match on any suffix blocks the host. Bounded by label
+    count (browsers cap ~127), never a cross join."""
+    labels = F.split(host, "\\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(F.slice(labels, i, F.size(labels)), "."),
+    )
+
+
+def url_quality_filter(
+    df: DataFrame,
+    blocked_domains: list[str],
+    penalty_words: list[str],
+    url_col: str = "url",
+) -> DataFrame:
+    """Annotate each row with the URL-level gate columns (RefinedWeb
+    §URL-filtering, documented subset):
+
+      host          — registrable host (see host_of)
+      blocked_host  — host or ANY dot-suffix is on the domain blocklist
+      penalty_hits  — number of spam-vocabulary words appearing in the
+                      lowercased URL (strict substring, the UT1 soft rule)
+      url_keep      — NOT blocked AND penalty_hits < 2
+
+    Everything is a native expression over the url column alone — the
+    gate runs at scan speed with the html column pruned away. The
+    blocklists here are literal arrays (they broadcast inside the plan);
+    for a UT1-sized list (~4.6M rows) explode `host_suffixes` and
+    LEFT SEMI join a blocklist table instead — same semantics, one
+    broadcast join, still no shuffle of the pages side."""
+    host = host_of(url_col)
+    blocked = F.arrays_overlap(
+        host_suffixes(host),
+        F.array(*[F.lit(d) for d in blocked_domains]),
+    )
+    low = F.lower(F.col(url_col))
+    hits = sum(
+        (F.when(low.contains(w), 1).otherwise(0) for w in penalty_words),
+        F.lit(0),
+    )
+    return df.select(
+        "*",
+        host.alias("host"),
+        blocked.alias("blocked_host"),
+        hits.cast("int").alias("penalty_hits"),
+        (~blocked & (hits < 2)).alias("url_keep"),
+    )
+
+
+def url_quality_filter_duck(
+    pages_sql: str,
+    blocked_domains: list[str],
+    penalty_words: list[str],
+    url_col: str = "url",
+) -> str:
+    """DuckDB twin of url_quality_filter (same suffix semantics via a
+    list comprehension, same strict-substring penalty rule)."""
+    host = host_of_duck(url_col)
+    bl = ", ".join("'" + d.replace("'", "''") + "'" for d in blocked_domains)
+    suffixes = (
+        f"list_transform(generate_series(1, len(string_split({host}, '.'))),"
+        f" i -> array_to_string(string_split({host}, '.')[i:], '.'))"
+    )
+    blocked = f"len(list_intersect({suffixes}, [{bl}])) > 0"
+    hits = " + ".join(
+        f"(CASE WHEN contains(lower({url_col}), '{w}') THEN 1 ELSE 0 END)"
+        for w in penalty_words
+    )
+    return f"""
+    WITH pages AS ({pages_sql})
+    SELECT *,
+           {host} AS host,
+           {blocked} AS blocked_host,
+           ({hits})::int AS penalty_hits,
+           (NOT ({blocked}) AND ({hits}) < 2) AS url_keep
+    FROM pages
+    """
+
+
+def meta_robots_noindex(html_col: str = "html") -> Column:
+    """True iff the page opts out of indexing via
+    `<meta name="robots" ... content="...noindex...">` (either attribute
+    order) — corpora that honor robots conventions drop these rows.
+    Case-insensitive RE2-safe regexp over the raw html string, scan
+    speed; identical pattern runs in DuckDB for the oracle."""
+    s = F.col(html_col)
+    return s.rlike(_NOINDEX_RE_1) | s.rlike(_NOINDEX_RE_2)
+
+
+_NOINDEX_RE_1 = (
+    "(?i)<meta[^>]*name\\s*=\\s*[\"']?robots[^>]*"
+    "content\\s*=\\s*[\"']?[^\"'>]*noindex"
+)
+_NOINDEX_RE_2 = (
+    "(?i)<meta[^>]*content\\s*=\\s*[\"']?[^\"'>]*noindex[^>]*"
+    "name\\s*=\\s*[\"']?robots"
+)
+
+
+def meta_robots_noindex_duck(col: str = "html") -> str:
+    r1 = _NOINDEX_RE_1.replace("'", "''")
+    r2 = _NOINDEX_RE_2.replace("'", "''")
+    return f"(regexp_matches({col}, '{r1}') OR regexp_matches({col}, '{r2}'))"
+
+
 # --- intra-document line dedup (Dolma's within-doc pass) -----------------------
 
 

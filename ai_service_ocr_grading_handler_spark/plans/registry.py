@@ -874,6 +874,88 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _curation.domain_cap(pages, k=8, salt_buckets=4).orderBy("doc_id")
 
 
+_UF_BLOCKED = ["host7.example.com", "bad-ads.example.net"]
+_UF_WORDS = ["casino", "xxx", "bonus"]
+_UF_URL_DUCK = (
+    f"CASE WHEN doc_id % 17 = 0 THEN"
+    f" 'https://sub.bad-ads.example.net/' || source || '/' || doc_id"
+    f" WHEN doc_id % 11 = 0 THEN {_URL_BASE_DUCK} || '/casino-bonus'"
+    f" WHEN doc_id % 7 = 3 THEN {_URL_BASE_DUCK} || '/free-xxx-stream'"
+    f" ELSE {_URL_BASE_DUCK} END"
+)
+_UF_HTML_DUCK = (
+    "'<html><head>' || CASE"
+    " WHEN doc_id % 13 = 0 THEN '<META NAME=\"ROBOTS\" CONTENT=\"NOINDEX,NOFOLLOW\">'"
+    " WHEN doc_id % 13 = 1 THEN '<meta content=''noindex,nofollow'' name=robots>'"
+    " WHEN doc_id % 13 = 2 THEN '<meta name=\"robots\" content=\"index,follow\">'"
+    " ELSE '' END || '</head><body>ok</body></html>'"
+)
+
+
+@register_library(
+    "url_filter",
+    _curation.url_quality_filter_duck(
+        f"SELECT doc_id, {_UF_URL_DUCK} AS url, {_UF_HTML_DUCK} AS html"
+        f" FROM documents",
+        _UF_BLOCKED,
+        _UF_WORDS,
+    ).replace(
+        "SELECT *,",
+        f"SELECT * EXCLUDE (html), {_curation.meta_robots_noindex_duck('html')} AS noindex,",
+    )
+    + " ORDER BY doc_id",
+)
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level pre-extraction gate (RefinedWeb-style): domain-blocklist
+    suffix matching (a planted `sub.bad-ads.example.net` host must block
+    via its `bad-ads.example.net` suffix, never string-contains), spam
+    vocabulary hits with the keep rule at <2 hits (one planted path has
+    two words, another one), plus the meta-robots noindex opt-out in both
+    attribute orders and mixed case. All native expressions over url and
+    a synthesized html head — the html column itself is EXCLUDED from the
+    output so the gate's scan-width story (url-only projection) is the
+    tested artifact."""
+    d = F.col("doc_id")
+    base = url_col("doc_id", "source")
+    u = (
+        F.when(
+            d % 17 == 0,
+            F.concat(
+                F.lit("https://sub.bad-ads.example.net/"),
+                F.col("source"),
+                F.lit("/"),
+                d.cast("string"),
+            ),
+        )
+        .when(d % 11 == 0, F.concat(base, F.lit("/casino-bonus")))
+        .when(d % 7 == 3, F.concat(base, F.lit("/free-xxx-stream")))
+        .otherwise(base)
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            d % 13 == 0, F.lit('<META NAME="ROBOTS" CONTENT="NOINDEX,NOFOLLOW">')
+        )
+        .when(d % 13 == 1, F.lit("<meta content='noindex,nofollow' name=robots>"))
+        .when(d % 13 == 2, F.lit('<meta name="robots" content="index,follow">'))
+        .otherwise(F.lit("")),
+        F.lit("</head><body>ok</body></html>"),
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id", u.alias("url"), html.alias("html")
+    )
+    out = _curation.url_quality_filter(pages, _UF_BLOCKED, _UF_WORDS)
+    return out.select(
+        "doc_id",
+        _curation.meta_robots_noindex("html").alias("noindex"),
+        "url",
+        "host",
+        "blocked_host",
+        "penalty_hits",
+        "url_keep",
+    ).orderBy("doc_id")
+
+
 @register(
     "warc_roundtrip",
     f"""

@@ -426,3 +426,46 @@ def test_domain_cap_exact_and_salt_invariant(spark):
         for r in df.select(curation.host_of("url").alias("h")).collect()
     }
     assert "tiny.net" in hosts and "viral.example.com" in hosts
+
+
+def test_url_filter_suffix_match_and_noindex_edges(spark):
+    """Blocklist matching is dot-SUFFIX, never substring; penalty words
+    count strict substrings with keep at <2; noindex matches both
+    attribute orders case-insensitively but never across tag boundaries
+    or for other meta names."""
+    from ai_service_ocr_grading_handler_spark.operators import curation
+
+    urls = [
+        "https://bad-ads.example.net/x",          # exact block
+        "https://sub.bad-ads.example.net/x",      # suffix block
+        "https://notbad-ads.example.net.evil.com/x",  # substring ONLY: keep
+        "https://clean.org/casino/bonus-xxx",     # 3 penalty hits: drop
+        "https://clean.org/one-casino",           # 1 hit: keep
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = curation.url_quality_filter(
+        df, ["bad-ads.example.net"], ["casino", "xxx", "bonus"]
+    )
+    rows = {r.url: (r.blocked_host, r.penalty_hits, r.url_keep) for r in out.collect()}
+    assert rows[urls[0]] == (True, 0, False)
+    assert rows[urls[1]] == (True, 0, False)
+    assert rows[urls[2]] == (False, 0, True)
+    assert rows[urls[3]] == (False, 3, False)
+    assert rows[urls[4]] == (False, 1, True)
+
+    htmls = [
+        '<meta name="robots" content="noindex">',
+        "<META CONTENT='a,NOINDEX' NAME=ROBOTS>",
+        '<meta name="googlebot" content="noindex">',  # other agent: no
+        # noindex in a DIFFERENT tag than the robots meta: no cross-tag match
+        '<meta name="robots" content="all"><meta name="x" content="noindex">',
+        '<meta name="robots" content="nofollow">',
+    ]
+    hdf = spark.createDataFrame([(h,) for h in htmls], "html string")
+    flags = [
+        r.f
+        for r in hdf.select(
+            curation.meta_robots_noindex("html").alias("f")
+        ).collect()
+    ]
+    assert flags == [True, True, False, False, False]
