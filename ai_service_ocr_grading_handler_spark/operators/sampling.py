@@ -209,6 +209,52 @@ def _features(df: DataFrame, id_cols: list[str], text_col: str, buckets: int) ->
     )
 
 
+def _logratio_table(
+    docb: DataFrame,
+    tgt_f: DataFrame,
+    buckets: int,
+    alpha: float,
+    empty_msg: str,
+) -> DataFrame:
+    """Per-bucket log( p_target / p_raw ) under add-alpha smoothing — the
+    shared fit of DSIR's importance weights and the NB quality
+    classifier (they are the same multinomial likelihood ratio; Xie et
+    al. arXiv:2302.03169 §3 makes the equivalence explicit). `docb` is
+    the pre-aggregated (id, bucket, n_occ) corpus frame; `tgt_f` the
+    per-occurrence target feature stream. Output is ≤ `buckets` rows —
+    always broadcastable. An empty target fails fast at execution
+    (assert_true) instead of silently producing NULL weights."""
+    c_r = docb.groupBy("bucket").agg(F.sum("n_occ").alias("c_r"))
+    c_t = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
+    n_r = c_r.agg(F.sum("c_r").cast("double").alias("n_r"))
+    n_t = c_t.agg(F.sum("c_t").cast("double").alias("n_t_raw")).select(
+        F.when(
+            F.assert_true(
+                F.col("n_t_raw").isNotNull(), F.lit(empty_msg)
+            ).isNull(),
+            F.col("n_t_raw"),
+        ).alias("n_t")
+    )
+    return (
+        c_r.join(c_t, "bucket", "left")
+        .crossJoin(F.broadcast(n_r))
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("n_t") + F.lit(alpha * buckets))
+                )
+                - F.log(
+                    (F.col("c_r") + F.lit(alpha))
+                    / (F.col("n_r") + F.lit(alpha * buckets))
+                )
+            ).alias("logratio"),
+        )
+    )
+
+
 def dsir_select(
     corpus: DataFrame,
     target: DataFrame,
@@ -246,37 +292,9 @@ def dsir_select(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("n_occ"))
     )
-    tgt_f = _features(target, [], text_col, buckets)
-    c_r = docb.groupBy("bucket").agg(F.sum("n_occ").alias("c_r"))
-    c_t = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
-    n_r = c_r.agg(F.sum("c_r").cast("double").alias("n_r"))
-    # empty target -> n_t NULL: every downstream weight would be NULL and
-    # top-k arbitrary; assert_true turns that into a loud execution error
-    n_t = c_t.agg(F.sum("c_t").cast("double").alias("n_t_raw")).select(
-        F.when(
-            F.assert_true(
-                F.col("n_t_raw").isNotNull(), F.lit("dsir: empty target slice")
-            ).isNull(),
-            F.col("n_t_raw"),
-        ).alias("n_t")
-    )
-    ratio = (
-        c_r.join(c_t, "bucket", "left")
-        .crossJoin(F.broadcast(n_r))
-        .crossJoin(F.broadcast(n_t))
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(alpha))
-                    / (F.col("n_t") + F.lit(alpha * buckets))
-                )
-                - F.log(
-                    (F.col("c_r") + F.lit(alpha))
-                    / (F.col("n_r") + F.lit(alpha * buckets))
-                )
-            ).alias("logratio"),
-        )
+    ratio = _logratio_table(
+        docb, _features(target, [], text_col, buckets), buckets, alpha,
+        "dsir: empty target slice",
     )
     logw = (
         docb.join(F.broadcast(ratio), "bucket")
@@ -336,4 +354,149 @@ def dsir_select_duck(
       FROM logw)
     SELECT doc_id, log_weight, gumbel_key
     FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT {k}
+    """
+
+
+def quality_classifier(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    alpha: float = 1.0,
+    pareto_shape: float = 9.0,
+    salt: str = "quality",
+) -> DataFrame:
+    """GPT-3-style quality-classifier filtering (Brown et al. 2020,
+    Appendix A; the same reference-vs-corpus filter LLaMA re-used): score
+    each corpus document by how reference-like its text is, then keep a
+    quality-skewed sample via the published Pareto rule
+    `keep iff score > 1 - pareto(shape)` — which keeps most high-scoring
+    docs but still lets some low-scoring ones through (their documented
+    diversity argument). GPT-3 trained a logistic classifier; here the
+    score is the hashed-multinomial Naive-Bayes posterior over the same
+    features DSIR fits — deterministic (no LBFGS float races), fully
+    aggregation-shaped, and value-checkable cross-engine:
+
+      quality_logit — per-TOKEN mean of the bucket log-likelihood ratios
+                      (length-normalized so long docs don't saturate)
+      quality_score — sigmoid of the CORPUS-STANDARDIZED logit
+                      ((logit - mean) / stddev via a 1-row broadcast, the
+                      CCNet-cutoff pattern). Raw smoothed NB logits sit
+                      wherever the add-alpha mass puts them; a trained
+                      classifier is calibrated. Standardizing makes the
+                      average corpus doc score 0.5 and clearly
+                      reference-like docs approach 1 — which is what the
+                      Pareto rule below needs to reproduce GPT-3's
+                      acceptance shape (P[keep] = (2 - score)^-shape)
+      keep          — score > 1 - draw, draw = u^(-1/shape) - 1 the
+                      inverse-CDF Pareto sample of a deterministic md5
+                      uniform (same discipline as the Gumbel in
+                      dsir_select); both sides rounded to 6dp first
+
+    Docs with no non-empty tokens have no evidence and no row (same
+    contract as dsir_select). Scale shape: ONE corpus feature pass
+    (shared `_features`), two tiny count tables, a broadcast ratio join
+    (≤ `buckets` rows), one per-doc aggregate — no corpus shuffle beyond
+    the per-(doc,bucket) combine."""
+    from ai_service_ocr_grading_handler_spark.operators.dedup import (
+        _persist_tracked,
+    )
+
+    docb = _persist_tracked(
+        _features(corpus, [id_col], text_col, buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    ratio = _logratio_table(
+        docb, _features(reference, [], text_col, buckets), buckets, alpha,
+        "quality_classifier: empty reference slice",
+    )
+    per_doc = (
+        docb.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("logratio") * F.col("n_occ")) / F.sum("n_occ"), 6
+            ).alias("quality_logit")
+        )
+    )
+    stats = per_doc.agg(
+        F.avg("quality_logit").alias("mu"),
+        F.stddev_pop("quality_logit").alias("sigma"),
+    )
+    z = F.round(
+        F.when(
+            F.col("sigma") > 1e-9,
+            (F.col("quality_logit") - F.col("mu")) / F.col("sigma"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    u = F.greatest(hash_frac(id_col, salt), F.lit(1e-12))
+    threshold = F.round(
+        F.lit(1.0) - (F.pow(u, F.lit(-1.0 / pareto_shape)) - F.lit(1.0)), 6
+    )
+    return per_doc.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        "quality_logit",
+        score.alias("quality_score"),
+        (score > threshold).alias("keep"),
+    )
+
+
+def quality_classifier_duck(
+    corpus_sql: str,
+    reference_sql: str,
+    buckets: int = 4096,
+    alpha: float = 1.0,
+    pareto_shape: float = 9.0,
+    salt: str = "quality",
+) -> str:
+    """DuckDB twin of quality_classifier (same hashes, smoothing,
+    sigmoid, Pareto draw and 6dp round-before-compare)."""
+    feats = " || ".join(
+        "(" + _bucket_expr_duck(n, buckets) + ")" for n in _DSIR_GRAMS
+    )
+    u = f"greatest({hash_frac_duck('doc_id', salt)}, 1e-12)"
+    exponent = repr(-1.0 / pareto_shape)
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    ref AS ({reference_sql}),
+    raw_f AS (
+      SELECT doc_id, unnest({feats}) AS bucket
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+            FROM corpus)),
+    docb AS (SELECT doc_id, bucket, count(*) AS n_occ FROM raw_f GROUP BY 1, 2),
+    ref_f AS (
+      SELECT unnest({feats}) AS bucket
+      FROM (SELECT list_filter(string_split(text, ' '), x -> x != '') AS ws
+            FROM ref)),
+    c_r AS (SELECT bucket, sum(n_occ) AS c_r FROM docb GROUP BY 1),
+    c_t AS (SELECT bucket, count(*) AS c_t FROM ref_f GROUP BY 1),
+    n_r AS (SELECT sum(c_r)::double AS n_r FROM c_r),
+    n_t AS (SELECT CASE WHEN sum(c_t) IS NULL
+                        THEN error('quality_classifier: empty reference slice')
+                        ELSE sum(c_t)::double END AS n_t FROM c_t),
+    ratio AS (
+      SELECT bucket,
+             ln((coalesce(c_t, 0) + {alpha}) / (n_t + {alpha * buckets}))
+             - ln((c_r + {alpha}) / (n_r + {alpha * buckets})) AS logratio
+      FROM c_r LEFT JOIN c_t USING (bucket) CROSS JOIN n_r CROSS JOIN n_t),
+    per_doc AS (
+      SELECT doc_id,
+             round(sum(logratio * n_occ) / sum(n_occ), 6) AS quality_logit
+      FROM docb JOIN ratio USING (bucket) GROUP BY 1),
+    stats AS (
+      SELECT avg(quality_logit) AS mu, stddev_pop(quality_logit) AS sigma
+      FROM per_doc),
+    scored AS (
+      SELECT doc_id, quality_logit,
+             round(1.0 / (1.0 + exp(-(round(CASE WHEN sigma > 1e-9
+                     THEN (quality_logit - mu) / sigma ELSE 0.0 END, 6)))), 6)
+               AS quality_score
+      FROM per_doc CROSS JOIN stats)
+    SELECT doc_id, quality_logit, quality_score,
+           quality_score > round(1.0 - (pow({u}, {exponent}) - 1.0), 6) AS keep
+    FROM scored
     """

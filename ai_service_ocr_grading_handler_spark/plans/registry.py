@@ -3055,6 +3055,31 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_library(
+    "quality_filter",
+    _samp.quality_classifier_duck(
+        "SELECT doc_id, text FROM documents",
+        "SELECT text FROM documents WHERE source IN ('src0', 'src1')",
+    )
+    + " ORDER BY doc_id",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style quality-classifier filtering (Brown et al. 2020
+    Appendix A): Naive-Bayes posterior over hashed unigram+bigram
+    multinomials fit on a trusted reference slice vs the raw pool, then
+    the published Pareto keep rule (score > 1 - pareto(9) draw) with the
+    draw derived from the deterministic md5 uniform. Same scale shape as
+    dsir_select (they share the fit): bounded-cardinality groupBys, a
+    broadcast ratio join, one per-doc aggregate. The DuckDB twin
+    recomputes every count, the sigmoid, the Pareto threshold and the
+    keep decision."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ref = docs.filter(F.col("source").isin("src0", "src1")).select("text")
+    return _samp.quality_classifier(docs.select("doc_id", "text"), ref).orderBy(
+        "doc_id"
+    )
+
+
+@register_library(
     "perplexity_buckets",
     _tq.perplexity_buckets_duck(
         "SELECT doc_id, text FROM documents",

@@ -189,3 +189,53 @@ def test_cluster_aware_split_keeps_neardups_together(spark):
     )
     for i in range(90):
         assert split[i] == got[i]
+
+
+def test_quality_classifier_orientation_and_pareto_rule(spark):
+    """Reference-like docs score near 1, out-of-domain near 0; the Pareto
+    keep rule keeps most high scorers and drops most low scorers while
+    letting SOME low scorers through (GPT-3's documented diversity
+    property); results are partitioning-invariant; empty docs get no row."""
+    ref = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",) for _ in range(5)],
+        "text string",
+    )
+    # realistic skew: mostly junk, a reference-like minority — the shape
+    # the corpus standardization is calibrated for (a 10% in-domain slice
+    # lands ~3 sigma above the mean and scores near 1)
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)]
+        + [(100 + i, f"zz{i % 7} qq rr ss tt uu vv ww") for i in range(72)]
+        + [(999, "")],
+        "doc_id bigint, text string",
+    )
+    out = sampling.quality_classifier(corpus, ref)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert 999 not in rows  # no-evidence docs get no row
+    hi = [rows[i] for i in range(8)]
+    lo = [rows[100 + i] for i in range(72)]
+    assert min(r.quality_score for r in hi) > max(r.quality_score for r in lo)
+    assert min(r.quality_score for r in hi) > 0.9  # calibrated near 1
+    hi_kept = sum(r.keep for r in hi)
+    lo_kept = sum(r.keep for r in lo)
+    assert hi_kept >= 5  # Pareto(9) keeps most docs scoring ~1
+    assert lo_kept <= len(lo) // 10  # and few of the junk majority
+    # determinism across partitionings
+    again = {
+        r.doc_id: (r.quality_logit, r.quality_score, r.keep)
+        for r in sampling.quality_classifier(corpus.repartition(7), ref).collect()
+    }
+    assert again == {
+        k: (v.quality_logit, v.quality_score, v.keep) for k, v in rows.items()
+    }
+
+
+def test_quality_classifier_empty_reference_fails_fast(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    ref = spark.createDataFrame([], "text string")
+    corpus = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with _pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        sampling.quality_classifier(corpus, ref).collect()
