@@ -358,7 +358,7 @@ def q_grade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
+@register_library(
     "rubric_zip_exploded",
     f"""
     SELECT d.doc_id, t.i AS pos,
@@ -477,7 +477,7 @@ def q_level_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
+@register_library(
     "empty_short_circuit",
     """
     WITH x AS (
@@ -892,7 +892,7 @@ _UF_HTML_DUCK = (
 )
 
 
-@register_library(
+@register(
     "url_filter",
     _curation.url_quality_filter_duck(
         f"SELECT doc_id, {_UF_URL_DUCK} AS url, {_UF_HTML_DUCK} AS html"
@@ -1392,7 +1392,7 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.media_metadata(media).orderBy("doc_id")
 
 
-@register(
+@register_library(
     "media_frame_sample",
     """
     SELECT d.doc_id, (t.i * 3)::int AS frame_idx,
@@ -3054,7 +3054,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _samp.dsir_select(docs.select("doc_id", "text"), target, k=100)
 
 
-@register_library(
+@register(
     "quality_filter",
     _samp.quality_classifier_duck(
         "SELECT doc_id, text FROM documents",
@@ -3191,7 +3191,7 @@ def q_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register_library(
+@register(
     "normalize_text",
     """
     SELECT doc_id,
@@ -3237,6 +3237,9 @@ _PRIORITY = [
     "minhash_lsh_neardups",
     "semantic_dedup",
     "curate_corpus",
+    "url_filter",
+    "normalize_text",
+    "quality_filter",
     "paragraph_dedup",
     "pack_sequences",
     "chunk_documents",

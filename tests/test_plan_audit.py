@@ -22,6 +22,7 @@ _BNLJ_OK = {
     "perplexity_buckets",
     "perplexity_buckets_pruned",
     "dsir_select",
+    "quality_filter",
 }
 
 
@@ -221,6 +222,22 @@ def test_dsir_select_bnlj_is_bounded(spark):
     assert n_bnlj == 2, f"expected 2 scalar-frame BNLJs, saw {n_bnlj}"
     assert "BroadcastHashJoin" in plan, "weight-table join lost its broadcast"
     assert "TakeOrdered" in plan, "top-k degraded from TakeOrdered"
+
+
+def test_quality_filter_bnlj_is_bounded(spark):
+    """quality_filter's _BNLJ_OK exemption pinned the same way: its
+    nested-loop sites are ONLY the 1-row scalar frames (n_r/n_t totals
+    from the shared _logratio_table fit plus the mean/stddev
+    standardization frame), every one building from the bounded side,
+    while the ratio-table and count-table joins stay broadcast HASH
+    joins — the corpus feature stream never nested-loops."""
+    df = _ALL_QUERIES["quality_filter"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    sites = plan.split("BroadcastNestedLoopJoin")[1:]
+    assert sites, "expected the scalar-frame BNLJs to be present"
+    for site in sites:
+        assert "BuildRight" in site[:200] or "BuildLeft" in site[:200]
+    assert "BroadcastHashJoin" in plan, "ratio-table join lost its broadcast"
 
 
 def test_broadcast_joins_where_intended(spark):
