@@ -61,9 +61,12 @@ def fix_mojibake(text_col: str | Column = "text") -> Column:
          `decode` THROWS on malformed input, so validity gates the lazy
          CASE branch rather than sniffing U+FFFD afterwards).
 
-    The gate makes the repair idempotent: repaired output contains real
-    multibyte characters (> U+00FF) or no signature, so a second pass is
-    the identity."""
+    The repair reverses exactly ONE misread (property-tested:
+    fix(misread(t)) == t for arbitrary t). Output with real multibyte
+    characters (> U+00FF) or no signature is a fixed point, so a second
+    pass is the identity for single-misread input; DOUBLY-encoded text
+    (misread twice upstream) needs one pass per layer — run to fixpoint
+    if a pipeline is known to double-encode (ftfy's loop)."""
     s = F.col(text_col) if isinstance(text_col, str) else text_col
     mapped = F.translate(s, _CP1252_SRC, _CP1252_DST)
     sig = mapped.rlike(_MOJIBAKE_SIG)
