@@ -73,7 +73,10 @@ def _merge_expr(a: str, b: str) -> str:
     a||b != a whenever b is non-empty."""
 
     def lit(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
+        # Spark's SQL parser treats backslash as an escape inside string
+        # literals (unlike standard SQL), so it must be doubled BEFORE
+        # quote-doubling — web text words genuinely contain backslashes
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
     return (
         "aggregate(symbols, cast(array() as array<string>), (acc, x) ->"

@@ -75,15 +75,17 @@ def test_domain_cap_matches_bruteforce(spark, pairs, k, salt_buckets):
 @settings(max_examples=5, deadline=None)
 @given(
     st.lists(
-        st.text(alphabet="abcd", min_size=1, max_size=6),
+        st.text(alphabet="ab\\'", min_size=1, max_size=6),
         min_size=3,
         max_size=60,
     )
 )
 def test_train_bpe_matches_reference_on_random_corpora(spark, words):
     """Merge-sequence identity vs the independent reference trainer on
-    random small-alphabet corpora (forced collisions stress the
-    deterministic tie-break and the fold's leftmost-first semantics)."""
+    random small-alphabet corpora — the alphabet includes backslash and
+    quote, the SQL-literal hazard characters (forced collisions stress
+    the deterministic tie-break and the fold's leftmost-first
+    semantics)."""
     from tests.test_tokenize import _ref_train
 
     docs = spark.createDataFrame([(" ".join(words),)], "text string")

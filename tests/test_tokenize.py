@@ -32,7 +32,10 @@ def _ref_merge(vocab, pair):
     out = []
     for syms, freq in vocab:
         joined = " ".join(syms)
-        out.append((pat.sub(a + b, joined).split(" "), freq))
+        # lambda replacement: re.sub processes backslash escapes in a
+        # string replacement, which corrupts merged symbols containing
+        # backslashes (found by the hypothesis property run)
+        out.append((pat.sub(lambda _: a + b, joined).split(" "), freq))
     return out
 
 
