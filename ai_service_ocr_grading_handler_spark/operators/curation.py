@@ -75,8 +75,11 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
 # shuffle, and expressible identically in DuckDB for the value oracle.
 
 
-def surt_key_on(u: Column) -> Column:
-    """SURT key for one URL column (see module comment for the subset)."""
+def _url_parts(u: Column) -> tuple[Column, Column, Column, Column]:
+    """(scheme, rest, port, host) of a lowercased/trimmed URL — the host
+    canonicalization core SHARED by surt_key_on and host_of, so the SURT
+    dedup keys and the domain_cap / url-filter hosts can never diverge
+    (scheme strip, userinfo strip, port strip, leading www[0-9]*. drop)."""
     u = F.lower(F.trim(u))
     scheme = F.regexp_extract(u, "^([a-z][a-z0-9+.-]*)://", 1)
     u = F.regexp_replace(u, "^[a-z][a-z0-9+.-]*://", "")  # scheme
@@ -86,6 +89,12 @@ def surt_key_on(u: Column) -> Column:
     port = F.regexp_extract(netloc, ":([0-9]+)$", 1)
     host = F.regexp_replace(netloc, ":[0-9]+$", "")
     host = F.regexp_replace(host, "^www[0-9]*\\.", "")
+    return scheme, rest, port, host
+
+
+def surt_key_on(u: Column) -> Column:
+    """SURT key for one URL column (see module comment for the subset)."""
+    scheme, rest, port, host = _url_parts(u)
     # non-default ports survive AFTER the reversed labels (pywb form
     # `com,host:8080)`); only the OWN scheme's default is dropped
     # (:443 for https, :80 otherwise — http://host:443 stays distinct)
@@ -113,14 +122,21 @@ def surt_key(url_col: str = "url") -> Column:
     return surt_key_on(F.col(url_col))
 
 
-def surt_key_duck(col: str = "url") -> str:
-    """DuckDB twin of surt_key (same RE2 patterns, list_reverse/list_sort)."""
+def _url_parts_duck(col: str) -> tuple[str, str, str, str]:
+    """DuckDB twin of _url_parts: (scheme, rest, port, host) SQL strings
+    (same RE2 patterns) — shared by surt_key_duck and host_of_duck."""
     scheme = f"regexp_extract(lower(trim({col})), '^([a-z][a-z0-9+.-]*)://', 1)"
     u = f"regexp_replace(regexp_replace(lower(trim({col})), '^[a-z][a-z0-9+.-]*://', ''), '^[^/?#]*@', '')"
     netloc = f"regexp_extract({u}, '^[^/?#]*')"
     rest = f"regexp_replace({u}, '^[^/?#]*', '')"
     port = f"regexp_extract({netloc}, ':([0-9]+)$', 1)"
     host = f"regexp_replace(regexp_replace({netloc}, ':[0-9]+$', ''), '^www[0-9]*\\.', '')"
+    return scheme, rest, port, host
+
+
+def surt_key_duck(col: str = "url") -> str:
+    """DuckDB twin of surt_key (same RE2 patterns, list_reverse/list_sort)."""
+    scheme, rest, port, host = _url_parts_duck(col)
     default_port = f"(CASE WHEN {scheme} = 'https' THEN '443' ELSE '80' END)"
     hostkey = (
         f"(array_to_string(list_reverse(string_split({host}, '.')), ',')"
@@ -247,27 +263,14 @@ def url_capture_dedup_duck(pages_sql: str) -> str:
 
 def host_of(url_col: str = "url") -> Column:
     """Registrable host of a URL: lowercase, scheme/userinfo/port
-    stripped, leading `www[0-9]*.` dropped (same host rules as
-    `surt_key_on`, without label reversal)."""
-    u = F.lower(F.trim(F.col(url_col)))
-    u = F.regexp_replace(u, "^[a-z][a-z0-9+.-]*://", "")
-    u = F.regexp_replace(u, "^[^/?#]*@", "")
-    netloc = F.regexp_extract(u, "^[^/?#]*", 0)
-    host = F.regexp_replace(netloc, ":[0-9]+$", "")
-    return F.regexp_replace(host, "^www[0-9]*\\.", "")
+    stripped, leading `www[0-9]*.` dropped — the SAME `_url_parts` core
+    as `surt_key_on`, without label reversal."""
+    return _url_parts(F.col(url_col))[3]
 
 
 def host_of_duck(col: str = "url") -> str:
-    """DuckDB twin of host_of (same RE2 patterns)."""
-    u = (
-        f"regexp_replace(regexp_replace(lower(trim({col})),"
-        f" '^[a-z][a-z0-9+.-]*://', ''), '^[^/?#]*@', '')"
-    )
-    netloc = f"regexp_extract({u}, '^[^/?#]*')"
-    return (
-        f"regexp_replace(regexp_replace({netloc}, ':[0-9]+$', ''),"
-        f" '^www[0-9]*\\.', '')"
-    )
+    """DuckDB twin of host_of (same `_url_parts_duck` core)."""
+    return _url_parts_duck(col)[3]
 
 
 def domain_cap(
@@ -385,9 +388,13 @@ def url_quality_filter(
     LEFT SEMI join a blocklist table instead — same semantics, one
     broadcast join, still no shuffle of the pages side."""
     host = host_of(url_col)
-    blocked = F.arrays_overlap(
-        host_suffixes(host),
-        F.array(*[F.lit(d) for d in blocked_domains]),
+    blocked = (
+        F.arrays_overlap(
+            host_suffixes(host),
+            F.array(*[F.lit(d) for d in blocked_domains]),
+        )
+        if blocked_domains
+        else F.lit(False)  # F.array() is array<void>; fold like the oracle
     )
     low = F.lower(F.col(url_col))
     hits = sum(
@@ -408,23 +415,32 @@ def url_quality_filter_duck(
     blocked_domains: list[str],
     penalty_words: list[str],
     url_col: str = "url",
+    select_prefix: str = "*",
 ) -> str:
     """DuckDB twin of url_quality_filter (same suffix semantics via a
-    list comprehension, same strict-substring penalty rule)."""
+    list comprehension, same strict-substring penalty rule).
+    `select_prefix` replaces the leading `*` of the SELECT list — e.g.
+    `* EXCLUDE (html), <expr> AS noindex` — so callers never have to
+    string-patch the generated SQL."""
     host = host_of_duck(url_col)
     bl = ", ".join("'" + d.replace("'", "''") + "'" for d in blocked_domains)
     suffixes = (
         f"list_transform(generate_series(1, len(string_split({host}, '.'))),"
         f" i -> array_to_string(string_split({host}, '.')[i:], '.'))"
     )
-    blocked = f"len(list_intersect({suffixes}, [{bl}])) > 0"
+    blocked = f"len(list_intersect({suffixes}, [{bl}])) > 0" if bl else "FALSE"
+    # words are quote-escaped into SQL literals (same hazard class as
+    # tokenize._merge_expr); an empty word list folds to the 0 the Spark
+    # twin's F.lit(0) seed produces
     hits = " + ".join(
-        f"(CASE WHEN contains(lower({url_col}), '{w}') THEN 1 ELSE 0 END)"
+        "(CASE WHEN contains(lower({c}), '{w}') THEN 1 ELSE 0 END)".format(
+            c=url_col, w=w.replace("'", "''")
+        )
         for w in penalty_words
-    )
+    ) or "0"
     return f"""
     WITH pages AS ({pages_sql})
-    SELECT *,
+    SELECT {select_prefix},
            {host} AS host,
            {blocked} AS blocked_host,
            ({hits})::int AS penalty_hits,

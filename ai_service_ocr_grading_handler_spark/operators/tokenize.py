@@ -172,9 +172,16 @@ def bpe_encode(
     exact budget number `textquality.bpe_token_count` approximates with
     its regex heuristic). Arrow-batched kernel; per-batch cache keyed by
     distinct word, so repeated web vocabulary encodes once per batch."""
+    import re
+
     from pyspark.sql.types import LongType, StructField, StructType
 
     ranks = {p: i for i, p in enumerate(merges)}
+    # Same word boundaries as word_freq's Java-regex split("\\s+"): Java \s
+    # is ASCII-only ([ \t\n\x0B\f\r]) by default, and Python re.ASCII \s is
+    # the identical set. Plain str.split() would ALSO break on Unicode
+    # whitespace (NBSP, U+3000, ...) and diverge from the trained vocabulary.
+    ws_re = re.compile(r"\s+", re.ASCII)
     names = df.schema.names
     # a COPY: StructType.add mutates in place, and df.schema hands back the
     # DataFrame's own cached object — mutating it corrupts df.columns
@@ -187,7 +194,9 @@ def bpe_encode(
             if not text:
                 return 0
             n = 0
-            for w in text.split():
+            for w in ws_re.split(text):
+                if not w:
+                    continue
                 hit = cache.get(w)
                 if hit is None:
                     hit = len(_encode_word(w, ranks))

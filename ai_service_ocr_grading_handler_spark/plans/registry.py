@@ -899,9 +899,9 @@ _UF_HTML_DUCK = (
         f" FROM documents",
         _UF_BLOCKED,
         _UF_WORDS,
-    ).replace(
-        "SELECT *,",
-        f"SELECT * EXCLUDE (html), {_curation.meta_robots_noindex_duck('html')} AS noindex,",
+        select_prefix=(
+            f"* EXCLUDE (html), {_curation.meta_robots_noindex_duck('html')} AS noindex"
+        ),
     )
     + " ORDER BY doc_id",
 )

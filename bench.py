@@ -420,10 +420,13 @@ def scaling_main(args) -> None:
     history["raw"].append(report["value"])
     history["hw_ceiling"].append(report["hw_ceiling_efficiency"])
     history["normalized"].append(report["normalized_efficiency"])
-    if prev is not None and report["value"] < max(history["raw"]):
-        # best-capture-as-headline, full history shown: a worse capture
-        # (a bad VM phase) appends its attempt but never displaces the
-        # best capture's fields
+    if prev is not None and report["value"] < prev.get("value", float("-inf")):
+        # best-capture-as-headline, full history shown: a capture worse
+        # than the STORED headline (a bad VM phase) appends its attempt but
+        # never displaces the headline fields. Compare against prev["value"],
+        # not max(history) — on a legacy hand-edited file whose headline sits
+        # below its own history max, max() would wrongly discard a capture
+        # that beats the published headline.
         stamped = {
             k: v
             for k, v in prev.items()

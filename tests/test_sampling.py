@@ -232,10 +232,10 @@ def test_quality_classifier_orientation_and_pareto_rule(spark):
 
 def test_quality_classifier_empty_reference_fails_fast(spark):
     import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
 
     ref = spark.createDataFrame([], "text string")
     corpus = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
-    with _pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+    # match the assert_true message so ONLY the intended fail-fast passes —
+    # an unrelated upstream error (renamed column, broken join) must fail
+    with _pytest.raises(Exception, match="empty reference slice"):
         sampling.quality_classifier(corpus, ref).collect()

@@ -122,3 +122,23 @@ def test_train_bpe_stops_when_no_pair_repeats(spark):
     docs = _docs(spark, ["q w e r t y"])  # all single chars, all freq 1
     merges = tokenize.train_bpe(tokenize.word_freq(docs), n_merges=10)
     assert merges == []
+
+
+def test_bpe_encode_word_boundaries_match_training_split(spark):
+    # word_freq splits on Java \s+ (ASCII-only), so a word containing
+    # NBSP (U+00A0) trains as ONE word and its merges can span the NBSP;
+    # bpe_encode must use the identical boundaries (re.ASCII \s+), not
+    # str.split()'s Unicode whitespace, or trained merges never apply.
+    text = "a\u00a0b a\u00a0b a\u00a0b"
+    docs = _docs(spark, [text])
+    wf = {r.word: r.freq for r in tokenize.word_freq(docs).collect()}
+    assert wf == {"a\u00a0b": 3}  # trains as one word
+    merges = tokenize.train_bpe(tokenize.word_freq(docs), n_merges=3)
+    assert ("a", "\u00a0") in merges or ("\u00a0", "b") in merges
+    out = tokenize.bpe_encode(docs, merges).collect()
+    ranks = {p: i for i, p in enumerate(merges)}
+    want = 3 * len(tokenize._encode_word("a\u00a0b", ranks))
+    assert out[0].n_bpe_tokens == want
+    # a Unicode-whitespace split would see words 'a' and 'b', where no
+    # merge applies: 3 * 4 tokens instead
+    assert want < 12
