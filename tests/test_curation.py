@@ -469,3 +469,37 @@ def test_url_filter_suffix_match_and_noindex_edges(spark):
         ).collect()
     ]
     assert flags == [True, True, False, False, False]
+
+
+def test_url_filter_duck_parity_quote_words_and_empty_lists(spark):
+    """The DuckDB twin quote-escapes penalty words and folds empty
+    word/domain lists to constants; Spark and DuckDB must agree on a word
+    containing a single quote and on both-empty gate lists."""
+    from ai_service_ocr_grading_handler_spark.operators import curation
+
+    urls = [
+        "https://clean.org/don't-miss",   # quoted word hits
+        "https://bad.example.com/x",
+        "https://clean.org/plain",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    con = duckdb.connect()
+    vals = ", ".join("('" + u.replace("'", "''") + "')" for u in urls)
+    pages_sql = f"SELECT * FROM (VALUES {vals}) AS t(url)"
+
+    for domains, words in (
+        (["bad.example.com"], ["don't", "casino"]),
+        ([], []),
+    ):
+        got = {
+            r.url: (r.host, r.blocked_host, r.penalty_hits, r.url_keep)
+            for r in curation.url_quality_filter(df, domains, words).collect()
+        }
+        want = {
+            r[0]: (r[1], r[2], r[3], r[4])
+            for r in con.execute(
+                curation.url_quality_filter_duck(pages_sql, domains, words)
+            ).fetchall()
+        }
+        assert got == want
+    assert got["https://clean.org/don't-miss"][2] == 0  # empty words: 0 hits
