@@ -394,11 +394,24 @@ def scaling_main(args) -> None:
         "captured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
         "captured_commit": _git_head(),
     }
-    # publish ALL captures ever taken at this pair, not only the best —
-    # the judge-accepted policy for this phase-noisy VM is "best capture,
-    # full history shown"; appending mechanically means a re-run can never
-    # silently discard the history (round 4 kept it by hand-editing)
     target = bench_dir / f"scaling_{args.n_small}to{args.n_big}.json"
+    target.write_text(json.dumps(_stamp_capture(target, stamped)))
+    print(json.dumps(report))
+
+
+def _stamp_capture(target, stamped: dict) -> dict:
+    """Merge a fresh capture into the per-pair capture file's contents:
+    publish ALL captures ever taken at this pair, not only the best — the
+    judge-accepted policy for this phase-noisy VM is "best capture, full
+    history shown"; appending mechanically means a re-run can never
+    silently discard the history (round 4 kept it by hand-editing).
+
+    Headline policy: a capture worse than the STORED headline (a bad VM
+    phase) appends its attempt to `all_captures_*` but never displaces the
+    headline fields. Compare against prev["value"], not max(history) — on
+    a legacy hand-edited file whose headline sits below its own history
+    max, max() would wrongly discard a capture that beats the published
+    headline."""
     history = {"raw": [], "hw_ceiling": [], "normalized": []}
     prev = None
     if target.exists():
@@ -417,24 +430,17 @@ def scaling_main(args) -> None:
                     history[k] = [prev[field]]
         except (OSError, json.JSONDecodeError):
             prev = None
-    history["raw"].append(report["value"])
-    history["hw_ceiling"].append(report["hw_ceiling_efficiency"])
-    history["normalized"].append(report["normalized_efficiency"])
-    if prev is not None and report["value"] < prev.get("value", float("-inf")):
-        # best-capture-as-headline, full history shown: a capture worse
-        # than the STORED headline (a bad VM phase) appends its attempt but
-        # never displaces the headline fields. Compare against prev["value"],
-        # not max(history) — on a legacy hand-edited file whose headline sits
-        # below its own history max, max() would wrongly discard a capture
-        # that beats the published headline.
+    history["raw"].append(stamped["value"])
+    history["hw_ceiling"].append(stamped["hw_ceiling_efficiency"])
+    history["normalized"].append(stamped["normalized_efficiency"])
+    if prev is not None and stamped["value"] < prev.get("value", float("-inf")):
         stamped = {
             k: v
             for k, v in prev.items()
             if not k.startswith(("all_captures_", "round4_all_captures_"))
         }
     stamped.update({f"all_captures_{k}": v for k, v in history.items()})
-    target.write_text(json.dumps(stamped))
-    print(json.dumps(report))
+    return stamped
 
 
 def _git_head() -> str | None:
