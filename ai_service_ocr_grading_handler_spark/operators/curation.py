@@ -528,6 +528,125 @@ def line_dedup_duck(col: str = "text") -> str:
     )
 
 
+# --- C4 line + page cleaning (Raffel et al. 2020 §2.2) -------------------------
+#
+# The C4 cleaning pass every T5-descended corpus starts from: keep only
+# lines that read like prose (terminal punctuation, a minimum word count,
+# no 'javascript' boilerplate), then gate whole pages (code pages via '{',
+# placeholder pages via 'lorem ipsum', a word blocklist, and a minimum
+# sentence count over what survived). All native expressions per row —
+# scan speed, zero shuffle at any corpus size.
+
+
+def c4_line_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    bad_words: list[str] | tuple[str, ...] = (),
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """Annotate each row with the C4 §2.2 cleaning columns:
+
+      text_clean      — surviving lines (trimmed), newline-joined. A line
+                        survives iff its trim ends in terminal punctuation
+                        ([.!?"]), has >= min_words_per_line whitespace
+                        words, and does not contain 'javascript'.
+      n_lines_kept / n_lines_dropped
+      n_sentences     — terminal-punctuation marks in text_clean
+      page_keep       — n_sentences >= min_sentences AND the RAW page has
+                        no '{', no 'lorem ipsum', and no blocklist word
+                        (word-boundary via alnum tokenization). The
+                        containment gates read the raw page (C4 removed
+                        code/placeholder PAGES outright); the sentence
+                        minimum reads the cleaned text.
+
+    Documented subset: C4's three-sentence-span dedup is the separate
+    `exact_substr_dedup` / `paragraph_dedup` tiers."""
+    raw = F.col(text_col)
+    lines = F.split(raw, "\n")
+
+    def _line_ok(line: Column) -> Column:
+        t = F.trim(line)
+        words = F.size(F.filter(F.split(t, "\\s+"), lambda x: x != ""))
+        return (
+            t.rlike('[.!?"]$')
+            & (words >= min_words_per_line)
+            & ~F.lower(t).contains("javascript")
+        )
+
+    kept = F.filter(lines, _line_ok)
+    # NOT transform(kept, F.trim): transform passes (element, index) to a
+    # two-arg callable, and F.trim(col, trimStr) would trim by INDEX chars
+    cleaned = F.array_join(F.transform(kept, lambda l: F.trim(l)), "\n")
+    low_raw = F.lower(raw)
+    toks = F.concat(
+        F.lit(" "), F.regexp_replace(low_raw, "[^a-z0-9]+", " "), F.lit(" ")
+    )
+    bad = F.lit(False)
+    for w in bad_words:
+        bad = bad | toks.contains(f" {w.lower()} ")
+    n_sent = F.size(F.regexp_extract_all(cleaned, F.lit("[.!?]"), 0))
+    page_keep = (
+        (n_sent >= min_sentences)
+        & ~raw.contains("{")
+        & ~low_raw.contains("lorem ipsum")
+        & ~bad
+    )
+    return df.select(
+        "*",
+        cleaned.alias("text_clean"),
+        F.size(kept).cast("int").alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).cast("int").alias("n_lines_dropped"),
+        n_sent.cast("int").alias("n_sentences"),
+        page_keep.alias("page_keep"),
+    )
+
+
+def c4_line_clean_duck(
+    pages_sql: str,
+    bad_words: list[str] | tuple[str, ...] = (),
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of c4_line_clean (same line rule, same raw-page gates;
+    note DuckDB regexp_replace needs the 'g' flag to match Spark's
+    replace-all)."""
+    lines = f"string_split({text_col}, chr(10))"
+    ok = (
+        "l -> regexp_matches(trim(l), '[.!?\"]$')"
+        " AND len(list_filter(string_split_regex(trim(l), '\\s+'),"
+        f" x -> x != '')) >= {min_words_per_line}"
+        " AND NOT contains(lower(trim(l)), 'javascript')"
+    )
+    kept = f"list_filter({lines}, {ok})"
+    cleaned = f"array_to_string(list_transform({kept}, l -> trim(l)), chr(10))"
+    toks = (
+        f"(' ' || regexp_replace(lower({text_col}), '[^a-z0-9]+', ' ', 'g') || ' ')"
+    )
+    bad = " OR ".join(
+        "contains({t}, ' {w} ')".format(t=toks, w=w.lower().replace("'", "''"))
+        for w in bad_words
+    ) or "FALSE"
+    n_sent = f"len(regexp_extract_all({cleaned}, '[.!?]'))"
+    keep = (
+        f"(({n_sent}) >= {min_sentences}"
+        f" AND NOT contains({text_col}, chr(123))"
+        f" AND NOT contains(lower({text_col}), 'lorem ipsum')"
+        f" AND NOT ({bad}))"
+    )
+    return f"""
+    WITH pages AS ({pages_sql})
+    SELECT *,
+           {cleaned} AS text_clean,
+           len({kept})::int AS n_lines_kept,
+           (len({lines}) - len({kept}))::int AS n_lines_dropped,
+           ({n_sent})::int AS n_sentences,
+           {keep} AS page_keep
+    FROM pages
+    """
+
+
 # --- the composite pipeline ----------------------------------------------------
 
 

@@ -3191,6 +3191,86 @@ def q_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# planted hazards for the C4 cleaning row: the raw docs table is one line
+# of unpunctuated word soup (line-dropped whole), so each doc gains
+# 3 + doc_id % 4 prose sentence lines (exercising BOTH sides of the
+# 5-sentence page minimum), a nav line (no terminal punctuation), a
+# javascript-boilerplate line and a 2-word line (all three line-dropped);
+# deterministic residues plant a lorem-ipsum line, a code line with '{'
+# and a blocklist word (kept or dropped at line level per the line rule,
+# but gating the PAGE).
+_C4_PROSE_DUCK = " || ".join(
+    f"CASE WHEN {k} <= 3 + doc_id % 4 THEN"
+    f" 'Prose line {k} reads ' || substr(text, {1 + 7 * k}, 12) || ' end.'"
+    " || chr(10) ELSE '' END"
+    for k in range(1, 7)
+)
+_C4_TEXT_DUCK = (
+    f"{_C4_PROSE_DUCK} || text || chr(10) || 'Header Menu'"
+    " || chr(10) || 'Enable javascript to view this page.'"
+    " || chr(10) || 'Too short.'"
+    " || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||"
+    " 'We add lorem ipsum dolor sit amet here.' ELSE '' END"
+    " || CASE WHEN doc_id % 17 = 0 THEN chr(10) ||"
+    " 'function() { return 1; }' ELSE '' END"
+    " || CASE WHEN doc_id % 19 = 0 THEN chr(10) ||"
+    " 'This line mentions badword in running prose.' ELSE '' END"
+)
+
+
+@register_library(
+    "c4_line_clean",
+    _curation.c4_line_clean_duck(
+        f"SELECT doc_id, {_C4_TEXT_DUCK} AS text FROM documents",
+        bad_words=["badword"],
+    )
+    + " ORDER BY doc_id",
+)
+def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 line + page cleaning (Raffel et al. 2020): terminal-
+    punctuation line filter with a 3-word minimum and the javascript
+    drop, then page gates — '{' (code), 'lorem ipsum' (placeholder), a
+    word blocklist (word-boundary via alnum tokenization, never
+    substring), and >= 5 sentences over the CLEANED text. All native
+    expressions, zero shuffle. The fixture plants every hazard class on
+    deterministic residues; the DuckDB twin recomputes cleaned text,
+    line/sentence counts and the page verdict, all value-checked."""
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    prose = [
+        F.when(
+            F.lit(k) <= 3 + d % 4,
+            F.concat(
+                F.lit(f"Prose line {k} reads "),
+                F.substring("text", 1 + 7 * k, 12),
+                F.lit(" end."),
+                nl,
+            ),
+        ).otherwise(F.lit(""))
+        for k in range(1, 7)
+    ]
+    planted = F.concat(
+        *prose,
+        F.col("text"), nl,
+        F.lit("Header Menu"), nl,
+        F.lit("Enable javascript to view this page."), nl,
+        F.lit("Too short."),
+        F.when(
+            d % 13 == 0,
+            F.concat(nl, F.lit("We add lorem ipsum dolor sit amet here.")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 17 == 0, F.concat(nl, F.lit("function() { return 1; }"))
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 19 == 0,
+            F.concat(nl, F.lit("This line mentions badword in running prose.")),
+        ).otherwise(F.lit("")),
+    )
+    pages = _t(spark, sf_dir, "documents").select("doc_id", planted.alias("text"))
+    return _curation.c4_line_clean(pages, bad_words=["badword"]).orderBy("doc_id")
+
+
 @register(
     "normalize_text",
     """

@@ -503,3 +503,46 @@ def test_url_filter_duck_parity_quote_words_and_empty_lists(spark):
         }
         assert got == want
     assert got["https://clean.org/don't-miss"][2] == 0  # empty words: 0 hits
+
+
+def test_c4_line_clean_rules(spark):
+    """C4 line rule edges: terminal punctuation required (incl. closing
+    quote), 3-word minimum, javascript drop is case-insensitive; page
+    gates read the RAW page ('{' in a line-dropped code line still drops
+    the page) and the bad-word gate is word-boundary, never substring."""
+    from ai_service_ocr_grading_handler_spark.operators import curation
+
+    docs = [
+        # 5 prose sentences, all kept: page survives
+        (1, "One two three four.\nFive six seven eight!\nNine ten eleven?\n"
+            'She said "stop here."\nLast full line here.'),
+        # line hazards: nav (no punct), 2-word, javascript (mixed case) —
+        # only the prose line survives; page dies on the sentence minimum
+        (2, "Header Menu\nToo short.\nEnable JavaScript to continue please.\n"
+            "Only one survivor line here."),
+        # '{' lives in a line the line-filter DROPS — page must still die
+        (3, "A. B? C! D. E.\nfunction() { return 1 }"),
+        # 'lorem ipsum' page gate
+        (4, "A one two. B three four. C five six. D seven eight. E nine ten.\n"
+            "lorem ipsum dolor sit amet."),
+        # bad word as SUBSTRING only (badwordish): page survives
+        (5, "A one two. B three four. C five six. D seven eight. "
+            "E nine badwordish ten."),
+        # bad word with word boundary: page dies
+        (6, "A one two. B three four. C five six. D seven eight. "
+            "E nine badword, ten."),
+        (7, ""),  # empty page
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    rows = {
+        r.doc_id: r
+        for r in curation.c4_line_clean(df, bad_words=["badword"]).collect()
+    }
+    assert rows[1].page_keep and rows[1].n_lines_kept == 5
+    assert rows[2].n_lines_kept == 1 and not rows[2].page_keep
+    assert rows[3].n_sentences == 5 and not rows[3].page_keep  # raw '{'
+    assert not rows[4].page_keep
+    assert rows[5].page_keep  # substring only: no word-boundary hit
+    assert not rows[6].page_keep  # ', ' tokenizes away: boundary hit
+    assert rows[7].text_clean == "" and rows[7].n_sentences == 0
+    assert not rows[7].page_keep
