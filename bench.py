@@ -503,6 +503,9 @@ def curation_main(args) -> None:
     n_docs = docs.count()  # warms the scan/page cache too
     jobs = {
         "curate_corpus": lambda: curation.curate_corpus(docs),
+        "c4_line_clean": lambda: curation.c4_line_clean(
+            docs, bad_words=["badword"]
+        ),
         "paragraph_dedup": lambda: dedup.paragraph_dedup(docs),
         "chunk_documents": lambda: packing.chunk_documents(docs, window=200, stride=150),
         "pack_sequences": lambda: packing.pack_sequences(docs, max_tokens=2048),
