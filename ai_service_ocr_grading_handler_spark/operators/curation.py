@@ -555,15 +555,27 @@ def c4_line_clean(
       n_sentences     — terminal-punctuation marks in text_clean
       page_keep       — n_sentences >= min_sentences AND the RAW page has
                         no '{', no 'lorem ipsum', and no blocklist word
-                        (word-boundary via alnum tokenization). The
-                        containment gates read the raw page (C4 removed
-                        code/placeholder PAGES outright); the sentence
-                        minimum reads the cleaned text.
+                        (word-boundary via alnum tokenization; each
+                        blocklist entry is normalized through the SAME
+                        tokenization, so hyphenated/punctuated entries
+                        match their tokenized page form). The containment
+                        gates read the raw page (C4 removed code/
+                        placeholder PAGES outright); the sentence minimum
+                        reads the cleaned text.
+
+    Lines split on \\r\\n | \\r | \\n in BOTH engines — Java's `$`
+    matches before a final line terminator while RE2's does not, so a
+    CR left inside a line would silently diverge the twins (and pollute
+    text_clean).
 
     Documented subset: C4's three-sentence-span dedup is the separate
-    `exact_substr_dedup` / `paragraph_dedup` tiers."""
+    `exact_substr_dedup` / `paragraph_dedup` tiers. The blocklist here
+    is a literal expression chain (one page scan per entry) — right for
+    the handful-of-words case; for the full ~400-entry C4 list, explode
+    the page's token array and LEFT SEMI join a blocklist table instead
+    (the `url_quality_filter` scaling note), same semantics."""
     raw = F.col(text_col)
-    lines = F.split(raw, "\n")
+    lines = F.split(raw, "\\r\\n|\\r|\\n")
 
     def _line_ok(line: Column) -> Column:
         t = F.trim(line)
@@ -583,8 +595,8 @@ def c4_line_clean(
         F.lit(" "), F.regexp_replace(low_raw, "[^a-z0-9]+", " "), F.lit(" ")
     )
     bad = F.lit(False)
-    for w in bad_words:
-        bad = bad | toks.contains(f" {w.lower()} ")
+    for w in _normalized_bad_words(bad_words):
+        bad = bad | toks.contains(f" {w} ")
     n_sent = F.size(F.regexp_extract_all(cleaned, F.lit("[.!?]"), 0))
     page_keep = (
         (n_sent >= min_sentences)
@@ -602,6 +614,23 @@ def c4_line_clean(
     )
 
 
+def _normalized_bad_words(bad_words) -> list[str]:
+    """Blocklist entries pushed through the SAME [^a-z0-9]+ -> space
+    tokenization as the page text, so 'bad-word' matches its tokenized
+    page form 'bad word' (a raw hyphenated pattern could NEVER occur in
+    the tokenized page and would silently disable that entry). Entries
+    that normalize to nothing are dropped — a bare ' ' pattern would
+    match every page."""
+    import re
+
+    out = []
+    for w in bad_words:
+        n = re.sub(r"[^a-z0-9]+", " ", w.lower()).strip()
+        if n:
+            out.append(n)
+    return out
+
+
 def c4_line_clean_duck(
     pages_sql: str,
     bad_words: list[str] | tuple[str, ...] = (),
@@ -612,7 +641,7 @@ def c4_line_clean_duck(
     """DuckDB twin of c4_line_clean (same line rule, same raw-page gates;
     note DuckDB regexp_replace needs the 'g' flag to match Spark's
     replace-all)."""
-    lines = f"string_split({text_col}, chr(10))"
+    lines = f"string_split_regex({text_col}, '\\r\\n|\\r|\\n')"
     ok = (
         "l -> regexp_matches(trim(l), '[.!?\"]$')"
         " AND len(list_filter(string_split_regex(trim(l), '\\s+'),"
@@ -625,8 +654,8 @@ def c4_line_clean_duck(
         f"(' ' || regexp_replace(lower({text_col}), '[^a-z0-9]+', ' ', 'g') || ' ')"
     )
     bad = " OR ".join(
-        "contains({t}, ' {w} ')".format(t=toks, w=w.lower().replace("'", "''"))
-        for w in bad_words
+        "contains({t}, ' {w} ')".format(t=toks, w=w.replace("'", "''"))
+        for w in _normalized_bad_words(bad_words)
     ) or "FALSE"
     n_sent = f"len(regexp_extract_all({cleaned}, '[.!?]'))"
     keep = (

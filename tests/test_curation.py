@@ -546,3 +546,38 @@ def test_c4_line_clean_rules(spark):
     assert not rows[6].page_keep  # ', ' tokenizes away: boundary hit
     assert rows[7].text_clean == "" and rows[7].n_sentences == 0
     assert not rows[7].page_keep
+
+
+def test_c4_line_clean_crlf_and_hyphenated_blocklist(spark):
+    """CRLF pages: lines split on \\r\\n|\\r|\\n in BOTH engines (Java $
+    matches before a final line terminator, RE2's does not — a CR left
+    inside a line diverges the twins and pollutes text_clean); blocklist
+    entries are tokenized like the page, so 'bad-word' matches."""
+    from ai_service_ocr_grading_handler_spark.operators import curation
+
+    docs = [
+        (1, "Good line one here.\r\nGood line two here.\rThird line also"
+            " fine.\nNo terminal punct line"),
+        (2, "They wrote bad-word in running text. One two three four."
+            " Five six seven eight. Nine ten eleven twelve."
+            " Last sentence here now."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = curation.c4_line_clean(df, bad_words=["bad-word"]).orderBy("doc_id")
+    rows = {r.doc_id: r for r in got.collect()}
+    assert rows[1].n_lines_kept == 3 and "\r" not in rows[1].text_clean
+    assert not rows[2].page_keep  # tokenized 'bad word' matches
+
+    import duckdb
+    con = duckdb.connect()
+    vals = ", ".join(
+        "({i}, '{t}')".format(i=i, t=t.replace("'", "''")) for i, t in docs
+    )
+    sql = curation.c4_line_clean_duck(
+        f"SELECT * FROM (VALUES {vals}) AS t(doc_id, text)",
+        bad_words=["bad-word"],
+    )
+    want = {r[0]: r for r in con.execute(sql + " ORDER BY doc_id").fetchall()}
+    for i, r in rows.items():
+        assert (r.text_clean, r.n_lines_kept, r.n_lines_dropped,
+                r.n_sentences, r.page_keep) == tuple(want[i][2:]), i
