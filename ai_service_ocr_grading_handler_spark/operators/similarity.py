@@ -28,6 +28,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
+from ai_service_ocr_grading_handler_spark.core.partitioning import widen_if_narrow
+
 EMB_DIM = 64
 LSH_PLANES = 16
 
@@ -98,7 +100,13 @@ def cosine_topk(
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    corpus = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    # widen the corpus side before the |queries| x |corpus| cosine
+    # projection: at bench scale the embeddings scan is one ~6 MB split, so
+    # the entire brute-force scoring otherwise runs in a single task
+    # (guide §2.5; no-op when the scan is already wide)
+    corpus = widen_if_narrow(
+        emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    )
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("n_id") != F.col("q_id"))
@@ -200,6 +208,9 @@ def lsh_neardups(
     4.04 s at sf0.1) because the barrier materializes pair structs with
     full embeddings. The fallback is cheaper than avoiding it — keep this
     form."""
+    # the P x dim signature fold is the dominant per-row cost: widen off
+    # the single-split scan stage first (no-op on a wide input)
+    df = widen_if_narrow(df, by=F.col("vec_id"))
     sigs = df.select("vec_id", "embedding", lsh_bucket_col().alias("bucket"))
     from ai_service_ocr_grading_handler_spark.operators.dedup import (
         in_bucket_pairs_expr,
@@ -257,6 +268,11 @@ def ivf_dots_col(emb_col: str = "embedding") -> Column:
     isnotnull(cell) pushdown, tripling the blowup. The fold form compiles
     to a few hundred bytes; its interpreted per-element cost is acceptable
     because IVF probes touch a bounded query set, never the full corpus."""
+    return F.expr(ivf_dots_expr(emb_col))
+
+
+def ivf_dots_expr(emb_col: str = "embedding") -> str:
+    """SQL text of the K-centroid dot array (see ivf_dots_col)."""
     dots = [
         (
             "aggregate(zip_with({e}, sequence(0, size({e}) - 1),"
@@ -264,7 +280,7 @@ def ivf_dots_col(emb_col: str = "embedding") -> Column:
         ).format(e=emb_col, cv=_CENTROID_SPARK.format(c=c))
         for c in range(IVF_CELLS)
     ]
-    return F.expr("array(" + ", ".join(dots) + ")")
+    return "array(" + ", ".join(dots) + ")"
 
 
 def ivf_dots_duck(emb_expr: str, dim: int = EMB_DIM) -> str:
@@ -303,14 +319,18 @@ def ivf_topk(
     K-dot array is computed once), probe NPROBE cells per query, exact
     cosine top-k within the probed lists only."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    corpus = (
-        emb.select("vec_id", "embedding", ivf_dots_col().alias("dots"))
-        .repartition(F.col("vec_id"))
-        .select(
-            F.col("vec_id").alias("n_id"),
-            F.col("embedding").alias("n_emb"),
-            ivf_cell_col().alias("cell"),
-        )
+    # corpus-side cell assignment fused into one projection (`dots` bound
+    # once via the lambda hoist) ABOVE a widen_if_narrow exchange: the
+    # former dots-then-repartition-then-cell form computed the 16x64
+    # quantizer fold inside the single-split scan stage
+    cell_expr = (
+        f"element_at(transform(array({ivf_dots_expr('embedding')}),"
+        f" dots -> cast(array_position(dots, array_max(dots)) as int)), 1)"
+    )
+    corpus = widen_if_narrow(emb, by=F.col("vec_id")).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        F.expr(cell_expr).alias("cell"),
     )
     queries = (
         emb.filter(F.col("vec_id") < n_queries)
@@ -400,12 +420,16 @@ def semantic_dedup(
 
     from ai_service_ocr_grading_handler_spark.operators import dedup as _dd
 
-    cells = df.select(
-        "vec_id", "embedding", ivf_dots_col("embedding").alias("dots")
-    ).select(
-        "vec_id",
-        "embedding",
-        F.expr("cast(array_position(dots, array_max(dots)) as int)").alias("cell"),
+    # widen before the 16x64 quantizer fold (single-split scan otherwise);
+    # `dots` is bound once via the array()/lambda hoist — the previous
+    # two-Project form collapsed and evaluated the K-dot fold twice per row
+    # (once under array_position, once under array_max)
+    cell_expr = (
+        f"element_at(transform(array({ivf_dots_expr('embedding')}),"
+        f" dots -> cast(array_position(dots, array_max(dots)) as int)), 1)"
+    )
+    cells = widen_if_narrow(df, by=F.col("vec_id")).select(
+        "vec_id", "embedding", F.expr(cell_expr).alias("cell")
     )
     # cells feeds BOTH the dropped-id derivation and the survivor
     # anti-join; without a materialization the 16x64 quantizer fold runs

@@ -34,6 +34,7 @@ from ai_service_ocr_grading_handler_spark.corpus import (
     requests_df,
     url_col,
 )
+from ai_service_ocr_grading_handler_spark.core.partitioning import widen_if_narrow
 from ai_service_ocr_grading_handler_spark.core.textops import LLM_NAME_MAPPING
 from ai_service_ocr_grading_handler_spark.functions import spans
 from ai_service_ocr_grading_handler_spark.operators import ensemble, scoring
@@ -87,6 +88,16 @@ def library_oracle_sql() -> dict[str, str]:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like _t, but widened to full parallelism when the scan is narrower
+    than the executor — for queries whose dominant cost is a compute-heavy
+    per-row projection directly on the scan (at bench scale these tables
+    are single ~6-16 MB parquet splits, so the kernel otherwise runs in ONE
+    task on a 32-core executor; no-op on wide inputs — see
+    core.partitioning.widen_if_narrow)."""
+    return widen_if_narrow(_t(spark, sf_dir, name))
 
 
 # ---------------------------------------------------------------------------
@@ -307,7 +318,7 @@ def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting over `documents` (§'text analysis'): whitespace
     tokens AND tokenizer-style BPE-ish pre-token counts (RE2-safe regex) in
     one projection, all JVM-side — no Python in the plan."""
-    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs = _tw(spark, sf_dir, "documents").filter(F.length("text") > 0)
     n_tokens = F.size(F.split(F.trim(F.col("text")), " "))
     return docs.select(
         "doc_id",
@@ -1272,7 +1283,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram arrays) — one single-pass struct through inline() (the
     column-per-feature form evaluated split() 49x per row; see
     textquality.quality_row), runs at scan speed."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.inline(F.array(_tq.quality_row("text")))
     ).orderBy("doc_id")
@@ -1292,7 +1303,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three content fingerprints per doc: exact (md5), locality-sensitive
     (min shingle md5 — MinHash with the identity permutation), and
     order-sensitive (Karp-Rabin rolling hash over the word sequence)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.md5("text").alias("content_md5"),
