@@ -47,19 +47,21 @@ __all__ = [
 #
 # The tokenizer runs via re.split, not finditer: the whole pattern is one
 # capture group, so split yields a flat [text, whole_tag, closing, name,
-# selfclose, text, ...] list with NO Match objects — measured ~25% faster
+# text, ...] list with NO Match objects — measured ~25% faster
 # than finditer+groups()+span() on the same corpus. Source positions are
 # recovered by accumulating part lengths. The attrs run is non-capturing
-# (nothing consumes it).
+# (nothing consumes it), and the optional self-close slash is matched by
+# the attrs run itself ("/" is in [^>\"']) — the old (/?) capture group
+# was never read and cost a fifth list slot per tag in the split output.
 _TAG_RE = re.compile(
-    r"(<(/?)([a-zA-Z][a-zA-Z0-9:-]*)(?:\"[^\"]*\"|'[^']*'|[^>\"'])*(/?)>"
+    r"(<(/?)([a-zA-Z][a-zA-Z0-9:-]*)(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>"
     r"|<!--.*?-->"  # comments
     r"|<!\[CDATA\[.*?\]\]>"  # cdata
     r"|<!(?:[^>])*>"  # doctype / other declarations
     r"|<\?(?:[^>])*>)",  # processing instructions
     re.DOTALL,
 )
-_SPLIT_STEP = 5  # fields per tag in _TAG_RE.split output
+_SPLIT_STEP = 4  # fields per tag in _TAG_RE.split output
 
 # Tags whose opening/closing terminates the current text block.
 _BLOCK_TAGS = frozenset(
@@ -170,24 +172,25 @@ def _finish_block(
     n_chars = len(text)
     n_words = text.count(" ") + 1
     # Boilerpipe-style wrapped-line text density (80-char lines);
-    # integer ceil — n_chars >= 1 here, so the result is always >= 1
-    lines = (n_chars + 79) // 80
-    b = Block(
-        block_id=block_id,
-        text=text,
-        src_start=runs[0][2],
-        src_end=runs[-1][3],
-        n_chars=n_chars,
-        n_words=n_words,
-        n_anchor_chars=anchor_len,
-        n_tags=n_tags,
-        link_density=(anchor_len / n_chars) if n_chars else 0.0,
-        text_density=n_words / lines,
-        depth_article=in_article > 0,
-        depth_boiler=in_boiler > 0,
-        kind=kind,
+    # integer ceil — n_chars >= 1 here, so the result is always >= 1.
+    # Positional construction: keyword construction of a 15-field slots
+    # dataclass measured ~2x slower on this hot path (one Block per text
+    # block, ~18 per document).
+    return Block(
+        block_id,
+        text,
+        runs[0][2],
+        runs[-1][3],
+        n_chars,
+        n_words,
+        anchor_len,
+        n_tags,
+        anchor_len / n_chars,  # n_chars >= 1 (empty text returned above)
+        n_words / ((n_chars + 79) // 80),
+        in_article > 0,
+        in_boiler > 0,
+        kind,
     )
-    return b
 
 
 def segment_blocks(html_text: str) -> list[Block]:
@@ -202,41 +205,30 @@ def segment_blocks(html_text: str) -> list[Block]:
     kind_stack: list[str] = []
     pos = 0
 
-    def flush() -> None:
-        # clears `runs` IN PLACE (not rebinding) so the hot loop's bound
-        # runs.append stays valid; _finish_block only keeps scalars/strings
-        nonlocal n_tags
-        if runs:
-            b = _finish_block(
-                runs,
-                n_tags,
-                len(blocks),
-                in_article,
-                in_boiler,
-                kind_stack[-1] if kind_stack else "div",
-            )
-            if b is not None:
-                blocks.append(b)
-            runs.clear()
-        n_tags = 0
+    # (the old flush() closure is inlined at its two call sites below:
+    # a closure call + nonlocal write per block boundary measured ~5% of
+    # the whole kernel. `runs` is cleared IN PLACE, not rebound, so the
+    # hot loop's bound runs_append stays valid; _finish_block only keeps
+    # scalars/strings.)
 
     # hot loop: ~100 iterations per document across the whole corpus —
     # locals for everything reached per iteration; per-tag behavior is ONE
     # _TAG_FLAGS dict lookup (flags==0 covers unknown + common inline tags),
     # and lower() runs only when a tag isn't already lowercase (the
     # overwhelming case), which skips one string alloc per tag.
-    # parts = [text, whole_tag, closing, name, selfclose, text, ...]
+    # parts = [text, whole_tag, closing, name, text, ...]; iterating
+    # zip() over strided slices beats manual index arithmetic (~10% on
+    # the loop) — the trailing text after the last tag is parts[-1],
+    # outside every 4-stride group, handled after the loop as before.
     _flags_get = _TAG_FLAGS.get
     runs_append = runs.append
     parts = _TAG_RE.split(html_text)
-    n_parts = len(parts)
-    i = 0
-    while i + 1 < n_parts:
-        seg = parts[i]
-        whole = parts[i + 1]
-        closing = parts[i + 2]
-        name = parts[i + 3]
-        i += _SPLIT_STEP
+    for seg, whole, closing, name in zip(
+        parts[0::_SPLIT_STEP],
+        parts[1::_SPLIT_STEP],
+        parts[2::_SPLIT_STEP],
+        parts[3::_SPLIT_STEP],
+    ):
         if seg:
             if rawtext_until is None:
                 mstart = pos + len(seg)
@@ -265,9 +257,18 @@ def segment_blocks(html_text: str) -> list[Block]:
             continue
         if flags & _F_BLOCK:
             if runs:
-                flush()
-            else:
-                n_tags = 0
+                b = _finish_block(
+                    runs,
+                    n_tags,
+                    len(blocks),
+                    in_article,
+                    in_boiler,
+                    kind_stack[-1] if kind_stack else "div",
+                )
+                if b is not None:
+                    blocks.append(b)
+                runs.clear()
+            n_tags = 0
             # Anchor state RESETS at block boundaries: an unclosed <a> in
             # scraped HTML (common) would otherwise mark every later text
             # run as anchor text, drive link_density to 1.0 for the rest of
@@ -312,7 +313,18 @@ def segment_blocks(html_text: str) -> list[Block]:
     if pos < len(html_text) and rawtext_until is None:
         seg = html_text[pos:]
         runs.append((seg, in_anchor > 0, pos, len(html_text)))
-    flush()
+    if runs:
+        b = _finish_block(
+            runs,
+            n_tags,
+            len(blocks),
+            in_article,
+            in_boiler,
+            kind_stack[-1] if kind_stack else "div",
+        )
+        if b is not None:
+            blocks.append(b)
+        runs.clear()
     return blocks
 
 
@@ -354,16 +366,21 @@ def classify_blocks(blocks: list[Block]) -> list[Block]:
     # per-block confidence in the assigned label (north star: per-block
     # confidence scoring): strong signals = structural container agreement,
     # long link-free text; weak = smoothing rescues, short blocks
+    # conditional expressions instead of min() — a builtin call per clamp
+    # is measurable at one-block-per-~60-chars volume (values unchanged)
     for b in blocks:
-        link_conf = 1.0 - min(1.0, b.link_density / _MAX_LINK_DENSITY) * 0.5
-        length_conf = min(1.0, b.n_words / (2.0 * _MIN_CONTENT_WORDS))
+        ld = b.link_density / _MAX_LINK_DENSITY
+        link_conf = 1.0 - (ld if ld < 1.0 else 1.0) * 0.5
+        lc = b.n_words / (2.0 * _MIN_CONTENT_WORDS)
+        length_conf = lc if lc < 1.0 else 1.0
         if b.is_content:
             base = 0.9 if b.depth_article else 0.6
-            b.confidence = round(min(1.0, base * link_conf + 0.4 * length_conf), 4)
+            c = base * link_conf + 0.4 * length_conf
+            b.confidence = round(c if c < 1.0 else 1.0, 4)
         else:
             base = 0.9 if b.depth_boiler else 0.6
-            anti_length = 1.0 - length_conf
-            b.confidence = round(min(1.0, base + 0.1 * anti_length), 4)
+            c = base + 0.1 * (1.0 - length_conf)
+            b.confidence = round(c if c < 1.0 else 1.0, 4)
     return blocks
 
 

@@ -189,54 +189,111 @@ NEARDUP_CORPUS_DUCK = """
 def lsh_neardups(
     df: DataFrame, threshold: float = 0.9, max_bucket: int = 1000
 ) -> DataFrame:
-    """ANN near-dup pairs: group by LSH bucket, generate pairs INSIDE each
-    bucket (sorted collect -> i<j struct explode), cosine-verify candidates
-    only.
+    """ANN near-dup pairs: group by LSH bucket, generate ID pairs INSIDE
+    each bucket (sorted collect -> i<j explode), then cosine-verify the
+    candidates with the embeddings JOINED BACK by id.
 
-    One pass over the corpus (the signature fold runs once — a bucket
-    self-join computes it for both sides) and one shuffle on bucket keys;
-    the all-pairs cross product is never materialized. Buckets are capped
-    at max_bucket sorted members before the O(k²) in-row pair array —
-    especially load-bearing here, where each member struct carries the
-    full embedding; see dedup.minhash_lsh_neardups for the rationale (the
-    cap never triggers on the fixtures, so the oracle stays value-exact).
+    Round-6 shape (guide §2.3 "shuffle keys and metadata instead of
+    payloads" / §8): the bucket rows collect only sorted vec_ids, so a
+    dense bucket of k members materializes k ids + k(k-1)/2 id-pairs —
+    not k(k-1)/2 structs each dragging TWO full embeddings (at sf1.0 the
+    92 buckets yield 5.9M candidate pairs; the old embedded-pair form
+    allocated ~3 GB of short-lived structs and evaluated the interpreted
+    3-fold cosine per pair, ~10 s). The embeddings and their precomputed
+    norms attach via two joins on the persisted signature frame, and the
+    per-pair work drops to ONE flat codegen dot product + a multiply:
+    sqrt(dot(a,a)) moves from per-pair to per-vector — the identical
+    expression on the identical input, so every cosine bit matches the
+    round-5 form and the DuckDB oracle.
 
-    Codegen note (measured round 4): this stage trips Janino's 64 KB limit
-    and falls back to interpreted eval for the verify projection; an
-    inline(array(struct)) Generate-barrier variant that isolates the
-    cosine into its own (compilable) stage measured 2.5x SLOWER (1.61 ->
-    4.04 s at sf0.1) because the barrier materializes pair structs with
-    full embeddings. The fallback is cheaper than avoiding it — keep this
-    form."""
-    # the P x dim signature fold is the dominant per-row cost: widen off
-    # the single-split scan stage first (no-op on a wide input)
-    df = widen_if_narrow(df, by=F.col("vec_id"))
-    sigs = df.select("vec_id", "embedding", lsh_bucket_col().alias("bucket"))
+    Buckets are still capped at max_bucket sorted members (the sort key
+    was (vec_id, embedding); vec_id is unique, so sorting ids alone keeps
+    the exact same survivor set)."""
     from ai_service_ocr_grading_handler_spark.operators.dedup import (
+        _persist_tracked,
         in_bucket_pairs_expr,
     )
 
-    pairs = in_bucket_pairs_expr("vs")
-    return (
+    # the P x dim signature fold is the dominant per-row cost: widen off
+    # the single-split scan stage first (no-op on a wide input)
+    df = widen_if_narrow(df, by=F.col("vec_id"))
+    sigs = df.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        lsh_bucket_col().alias("bucket"),
+    )
+    # three consumers (bucket groupBy + both join-back sides): persist so
+    # the signature fold runs once (bounded-window eviction, see dedup)
+    sigs = _persist_tracked(sigs)
+    pairs = in_bucket_pairs_expr("ids", "struct(x AS a_id, y AS b_id)")
+    # EXPLICIT-N repartitions around the explode: the bucket aggregate
+    # emits only ~|buckets| tiny rows, so AQE's byte-based coalescing
+    # collapses that shuffle to ONE partition and the k(k-1)/2 pair
+    # explosion plus every downstream per-pair op ran single-task
+    # (measured 73 s for the verify stage at sf1.0). Bytes are the wrong
+    # cost model here — each bucket row fans out to k² rows of work. One
+    # slot-count-sized exchange before the explode spreads pair
+    # GENERATION; a second one on (a_id, b_id) after it balances pair
+    # VERIFICATION regardless of bucket skew (the shuffle carries 24-byte
+    # id pairs — the §8 "move keys, not payloads" shape).
+    par = sigs.sparkSession.sparkContext.defaultParallelism
+    cand = (
         sigs.groupBy("bucket")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("vec_id"), F.col("embedding")))
-                ),
-                1,
-                max_bucket,
-            ).alias("vs")
-        )
-        .filter(F.size("vs") > 1)
+        .agg(F.slice(F.array_sort(F.collect_list("vec_id")), 1, max_bucket).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .repartition(par, F.col("bucket"))
         .select("bucket", F.explode(F.expr(pairs)).alias("p"))
-        .select(
-            F.col("p.a.vec_id").alias("a_id"),
-            F.col("p.b.vec_id").alias("b_id"),
-            F.col("bucket"),
-            F.round(
-                cosine(F.col("p.a.embedding"), F.col("p.b.embedding")), 4
-            ).alias("cos"),
+        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"), "bucket")
+        .repartition(par, F.col("a_id"), F.col("b_id"))
+    )
+    joined = cand.join(
+        sigs.select(
+            F.col("vec_id").alias("a_id"),
+            F.col("embedding").alias("emb_a"),
+            F.col("nrm").alias("nrm_a"),
+        ),
+        "a_id",
+    ).join(
+        sigs.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("embedding").alias("emb_b"),
+            F.col("nrm").alias("nrm_b"),
+        ),
+        "b_id",
+    )
+    # cos is emitted through an inline(array(struct)) Generate BARRIER:
+    # a plain projected column would let Catalyst push `cos >= threshold`
+    # INTO the join as a non-equi condition (expression substitution), so
+    # the 64-term dot ran per candidate inside a SortMergeJoin AND again
+    # in the output projection — measured 179 s vs ~3 s at sf1.0. With the
+    # barrier the joins stay pure equi (AQE broadcasts the small signature
+    # side), the dot is evaluated exactly once per pair, and the filter
+    # sits above the Generate where it cannot sink. Unlike the round-4
+    # Generate-barrier experiment (which materialized pair structs with
+    # full embeddings), this struct is one double.
+    # fold-form dot, NOT the flat _dot: at 5.9M pairs the 64-term
+    # try_element_at tree compiles into a generated method past HotSpot's
+    # 8000-bytecode JIT limit, so it executes in the bytecode interpreter
+    # (~72 us/row measured — 13.6 s for a 6M-row projection vs 3.3 s for
+    # this fold, with zero Janino/codegen warnings either way). Same sum
+    # order (0.0D + t0 == t0), same NULL semantics on 64-dim input, so
+    # every cosine bit matches the oracle.
+    pair_dot = F.expr(
+        "aggregate(zip_with(emb_a, emb_b,"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
+    cos = F.round(
+        F.nanvl(
+            F.try_divide(pair_dot, F.col("nrm_a") * F.col("nrm_b")),
+            F.lit(None).cast("double"),
+        ),
+        4,
+    )
+    return (
+        joined.select(
+            "a_id", "b_id", "bucket", F.inline(F.array(F.struct(cos.alias("cos"))))
         )
         .filter(F.col("cos") >= threshold)
     )
