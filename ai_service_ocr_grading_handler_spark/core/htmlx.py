@@ -153,22 +153,33 @@ def _finish_block(
     kind: str,
 ) -> Block | None:
     """Build a Block from accumulated (text, is_anchor, start, end) runs."""
-    # single-run fast path (the common case: one text run between tags)
-    raw = runs[0][0] if len(runs) == 1 else "".join(r[0] for r in runs)
-    # entity unescape only when an entity can exist (hot path: plain text)
-    text = normalize_ws(_html.unescape(raw) if "&" in raw else raw)
-    if not text:
-        return None
-    anchor_runs = [r[0] for r in runs if r[1]]
-    if anchor_runs:
-        anchor_raw = anchor_runs[0] if len(anchor_runs) == 1 else "".join(anchor_runs)
-        anchor_len = len(
-            normalize_ws(
-                _html.unescape(anchor_raw) if "&" in anchor_raw else anchor_raw
-            )
-        )
+    if len(runs) == 1:
+        # single-run fast path (the common case: one text run between
+        # tags): the anchor text, when present, IS the whole run, so its
+        # normalized length equals n_chars — no second normalize pass
+        raw, is_anchor, _, _ = runs[0]
+        text = normalize_ws(_html.unescape(raw) if "&" in raw else raw)
+        if not text:
+            return None
+        anchor_len = len(text) if is_anchor else 0
     else:
-        anchor_len = 0
+        raw = "".join(r[0] for r in runs)
+        # entity unescape only when an entity can exist (hot path: plain text)
+        text = normalize_ws(_html.unescape(raw) if "&" in raw else raw)
+        if not text:
+            return None
+        anchor_runs = [r[0] for r in runs if r[1]]
+        if anchor_runs:
+            anchor_raw = (
+                anchor_runs[0] if len(anchor_runs) == 1 else "".join(anchor_runs)
+            )
+            anchor_len = len(
+                normalize_ws(
+                    _html.unescape(anchor_raw) if "&" in anchor_raw else anchor_raw
+                )
+            )
+        else:
+            anchor_len = 0
     n_chars = len(text)
     n_words = text.count(" ") + 1
     # Boilerpipe-style wrapped-line text density (80-char lines);

@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from ai_service_ocr_grading_handler_spark.core.partitioning import widen_if_narrow
 from ai_service_ocr_grading_handler_spark.operators import dedup as _dd
 
 # --- URL canonicalization + dedup (RefinedWeb-style) ---------------------------
@@ -574,6 +575,8 @@ def c4_line_clean(
     the handful-of-words case; for the full ~400-entry C4 list, explode
     the page's token array and LEFT SEMI join a blocklist table instead
     (the `url_quality_filter` scaling note), same semantics."""
+    # per-row regex-heavy projection: widen off a single-split scan first
+    df = widen_if_narrow(df)
     raw = F.col(text_col)
     lines = F.split(raw, "\\r\\n|\\r|\\n")
 
@@ -752,6 +755,10 @@ def curate_corpus(
     """
     from pyspark.sql import Window
 
+    # widen off a single-split scan before the scrub/dedup chain (no-op on
+    # wide inputs; every stage below is deterministic in ids, so the
+    # output is partitioning-independent — see core.partitioning)
+    df = widen_if_narrow(df, by=F.col(id_col))
     scrubbed = stateless_curate(df, text_col, id_col, min_words, max_words)
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
     unique = (

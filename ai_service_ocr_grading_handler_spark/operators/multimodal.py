@@ -26,6 +26,8 @@ from typing import Iterator
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ai_service_ocr_grading_handler_spark.core.partitioning import widen_if_narrow
+
 MAGIC = b"FAKEMM01"
 _HEADER = ">8sBIII"  # magic, kind, width, height, payload_len
 HEADER_LEN = struct.calcsize(_HEADER)
@@ -350,7 +352,14 @@ def stacked_crops_df(spark: SparkSession, sf_dir: str, group: int = 50) -> DataF
             }
         )
 
-    return docs.groupBy("batch_id").applyInPandas(
+    # explicit-N repartition on the group key: the (doc_id, batch_id)
+    # shuffle is tiny in BYTES, so AQE's coalescing collapsed it to one
+    # partition — and every group's pure-Python synth->stack->PNG
+    # round-trip (the actual cost, ~0.2 s per group) ran in ONE task
+    # (measured 11.7 s at sf0.1; ~50 tasks after this). Satisfies
+    # applyInPandas's hashpartitioning requirement, so no extra exchange.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par, F.col("batch_id")).groupBy("batch_id").applyInPandas(
         stack, schema="batch_id int, n_images int, stacked_w int, stacked_h int"
     )
 
@@ -440,7 +449,11 @@ def audio_features_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula."""
     import pyarrow as pa
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # widen off the single-split scan: the WAV synth+parse kernel is pure
+    # per-row Python and otherwise runs in ONE task (no-op on wide inputs)
+    docs = widen_if_narrow(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    )
 
     def kernel(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         for batch in batches:

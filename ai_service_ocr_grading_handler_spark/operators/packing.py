@@ -20,6 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ai_service_ocr_grading_handler_spark.core.partitioning import widen_if_narrow
 from ai_service_ocr_grading_handler_spark.operators.textquality import bpe_token_count
 
 
@@ -74,6 +75,10 @@ def pack_sequences(
     deterministic in `id_col` or packing loses resume-determinism."""
     import pandas as pd
 
+    # the BPE-ish token-count regex is the expensive per-row step: widen
+    # off a single-split scan first (no-op on wide inputs; packing is
+    # deterministic in ids — groups hash ids, packs sort by id)
+    df = widen_if_narrow(df, by=F.col(id_col))
     counted = df.select(
         F.col(id_col),
         bpe_token_count(text_col).alias("n_tokens"),
@@ -153,6 +158,8 @@ def chunk_documents(
     0) / stride) + 1 matches the DuckDB twin exactly (tested)."""
     if not 0 < stride <= window:
         raise ValueError(f"need 0 < stride <= window, got {stride}/{window}")
+    # widen off a single-split scan before the per-row chunking expression
+    df = widen_if_narrow(df, by=F.col(id_col))
     chunks = (
         "flatten(transform(array(split({t}, ' ')), ws ->"
         " transform(sequence(0, cast(ceil(greatest(size(ws) - {w} + {s}, 0) / {s})"
