@@ -217,10 +217,17 @@ def lsh_neardups(
     # the P x dim signature fold is the dominant per-row cost: widen off
     # the single-split scan stage first (no-op on a wide input)
     df = widen_if_narrow(df, by=F.col("vec_id"))
+    # fold-form self-dot for the norm (same bits as the flat form: the
+    # fold's 0.0D seed + t0 == t0; see the pair-dot note below)
+    self_dot = F.expr(
+        "aggregate(zip_with(embedding, embedding,"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0.0D, (acc, v) -> acc + v)"
+    )
     sigs = df.select(
         "vec_id",
         "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.sqrt(self_dot).alias("nrm"),
         lsh_bucket_col().alias("bucket"),
     )
     # three consumers (bucket groupBy + both join-back sides): persist so
@@ -245,7 +252,7 @@ def lsh_neardups(
         .repartition(par, F.col("bucket"))
         .select("bucket", F.explode(F.expr(pairs)).alias("p"))
         .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"), "bucket")
-        .repartition(par, F.col("a_id"), F.col("b_id"))
+        .repartition(par, F.col("a_id"))
     )
     joined = cand.join(
         sigs.select(

@@ -262,8 +262,20 @@ def test_curation_tier_plan_shapes(spark):
     assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), "dirty ids not broadcast-anti"
 
     plan = qs["pack_sequences"](spark, SF)._jdf.queryExecution().executedPlan().toString()
-    n_exchange = len(re.findall(r"Exchange (hash|range|Single)", plan))
-    assert n_exchange == 1, f"pack_sequences shuffles {n_exchange}x (want 1: the group key)"
+    # exactly one REQUIRED shuffle (the group key). A leading
+    # REPARTITION_BY_NUM exchange is the round-6 widen_if_narrow spreading
+    # the token-count regex off a single-split bench-scale scan — it is a
+    # no-op (absent) on production-wide inputs, so it is excluded from the
+    # required-shuffle count rather than allowed unconditionally.
+    required = [
+        m
+        for m in re.finditer(r"Exchange (hash|range|Single)[^\n]*", plan)
+        if "REPARTITION_BY_NUM" not in m.group(0)
+    ]
+    assert len(required) == 1, (
+        f"pack_sequences has {len(required)} required shuffles (want 1: the"
+        f" group key)"
+    )
 
     plan = qs["semantic_dedup"](spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan, "semantic_dedup cells frame lost its persist"
