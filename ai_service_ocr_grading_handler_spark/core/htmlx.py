@@ -163,7 +163,7 @@ def _finish_block(
             return None
         anchor_len = len(text) if is_anchor else 0
     else:
-        raw = "".join(r[0] for r in runs)
+        raw = "".join([r[0] for r in runs])  # listcomp: faster than genexpr in join
         # entity unescape only when an entity can exist (hot path: plain text)
         text = normalize_ws(_html.unescape(raw) if "&" in raw else raw)
         if not text:
