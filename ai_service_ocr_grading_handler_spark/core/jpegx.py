@@ -273,6 +273,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
                 j += nvals
                 (huff_dc if tc == 0 else huff_ac)[th] = table
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 prog.
+            # a second SOF after scan state exists would reassign `frame`
+            # while coef_store/scan_budget stay sized for the first frame;
+            # a larger second frame then indexes past the store with an
+            # uncontracted IndexError (round-5 ADVICE). T.81 allows one
+            # frame per image — reject the hostile shape explicitly.
+            if frame is not None:
+                raise ValueError("multiple SOF segments")
             if len(body) < 6:
                 raise ValueError("truncated SOF segment")
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)

@@ -107,6 +107,26 @@ def _sniffs_html(body: bytes) -> bool:
     return False
 
 
+def classify_drop(
+    wtype: str | None, uri: str | None, status, ctype: str | None, body: bytes
+) -> str | None:
+    """THE keep/drop rule for WARC page ingestion: returns the drop reason
+    or None for a kept record. One definition consumed by both
+    `warc_pages` (the data path) and `warc_drop_counts` (the loss-
+    accounting path) — the two filter chains were previously duplicated by
+    hand, so an edit to one could silently diverge the accounting from
+    what the data path actually keeps (round-5 ADVICE)."""
+    if wtype != "response" or not uri:
+        return "non_response_record"
+    if status != 200:
+        return "non_200_status"
+    if ctype is not None and "html" not in ctype.lower():
+        return "non_html_content_type"
+    if ctype is None and not _sniffs_html(body):
+        return "unsniffable_missing_content_type"
+    return None
+
+
 class _MemberReader:
     """Streaming decompressor for ONE gzip member with BOUNDED input
     windows: both `unconsumed_tail` and `unused_data` never exceed one
@@ -569,17 +589,9 @@ def warc_pages(files_df: DataFrame) -> DataFrame:
                 for wtype, uri, date, status, ctype, body in iter_warc_records(
                     blob, counts
                 ):
-                    if wtype != "response" or not uri:
-                        _bump(counts, "non_response_record")
-                        continue
-                    if status != 200:
-                        _bump(counts, "non_200_status")
-                        continue
-                    if ctype is not None and "html" not in ctype.lower():
-                        _bump(counts, "non_html_content_type")
-                        continue
-                    if ctype is None and not _sniffs_html(body):
-                        _bump(counts, "unsniffable_missing_content_type")
+                    reason = classify_drop(wtype, uri, status, ctype, body)
+                    if reason is not None:
+                        _bump(counts, reason)
                         continue
                     urls.append(uri)
                     ts.append(_parse_warc_date(date))
@@ -623,14 +635,9 @@ def warc_drop_counts(files_df: DataFrame) -> DataFrame:
                 for wtype, uri, date, status, ctype, body in iter_warc_records(
                     blob, counts
                 ):
-                    if wtype != "response" or not uri:
-                        _bump(counts, "non_response_record")
-                    elif status != 200:
-                        _bump(counts, "non_200_status")
-                    elif ctype is not None and "html" not in ctype.lower():
-                        _bump(counts, "non_html_content_type")
-                    elif ctype is None and not _sniffs_html(body):
-                        _bump(counts, "unsniffable_missing_content_type")
+                    reason = classify_drop(wtype, uri, status, ctype, body)
+                    if reason is not None:
+                        _bump(counts, reason)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(list(counts.keys()), pa.string()),

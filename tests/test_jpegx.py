@@ -745,3 +745,17 @@ def test_progressive_scan_work_bomb_is_bounded():
     assert (w, h, mode) == (8, 8, "RGB")
     with _pytest.raises(ValueError, match="scan work"):
         jpegx.decode_jpeg(bomb(30))
+
+
+def test_second_sof_rejected_with_value_error():
+    """A crafted stream with a second SOF between segments must fail with
+    the contracted ValueError, not an IndexError from scan state sized for
+    the first frame (round-5 ADVICE: T.81 allows one frame per image)."""
+    plane = bytes(range(64))
+    good = encode_jpeg(8, 8, [(plane, 8, 8)], [(1, 1)])
+    sof_at = good.index(b"\xff\xc0")
+    sof_len = 2 + int.from_bytes(good[sof_at + 2 : sof_at + 4], "big")
+    sof_seg = good[sof_at : sof_at + sof_len]
+    doubled = good[: sof_at + sof_len] + sof_seg + good[sof_at + sof_len :]
+    with pytest.raises(ValueError, match="multiple SOF"):
+        jpegx.decode_jpeg(doubled)
